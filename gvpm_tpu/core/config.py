@@ -1,0 +1,62 @@
+"""Render configuration dataclasses.
+
+Replaces the reference's Properties bags + GPMConfig::load option surface
+(gvpm_struct.h:107-333) with typed dataclasses. All fields are static
+Python values — changing one retriggers jit specialization, which is the
+TPU analog of the reference's per-scene plugin instantiation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PathConfig:
+    """Shared path-tracing options (MonteCarloIntegrator analog,
+    integrator.h:444)."""
+    max_depth: int = 12           # maximum path edges (reference maxDepth=12)
+    rr_depth: int = 5             # start Russian roulette after this depth
+    rr_clamp: float = 0.95
+    null_bounces: int = 6         # extra iterations budget for null crossings
+
+
+@dataclasses.dataclass(frozen=True)
+class VolPathConfig(PathConfig):
+    """Primal volumetric path tracer (reference: integrators/volpath)."""
+    spp: int = 16
+    nee: bool = True              # next-event estimation + MIS
+
+
+@dataclasses.dataclass(frozen=True)
+class PhotonConfig(PathConfig):
+    """Photon shooting + progressive estimation (GPMConfig analog)."""
+    surface_photons: int = 65536      # photonCount per pass
+    volume_photons: int = 65536       # volumePhotonCount per pass
+    beams: int = 4096                 # number of stored light beams
+    max_passes: int = 16
+    alpha: float = 0.7                # radius reduction (gvpm.cpp:181)
+    initial_scale: float = 1.0        # initialScale (surface radii)
+    initial_scale_volume: float = 1.0 # initialScaleVolume
+    rr_depth_photon: int = 10         # rrDepthPhoton ~ effectively off
+    bounce_roughness: float = 0.05    # VertexClassifier threshold
+    camera_sphere: float = 0.0        # photon skip radius near sensor
+    grid_max_photons_per_cell: int = 32
+    grid_hash_size: int = 1 << 18
+    cam_rays_per_pixel: int = 1
+    volume_samples: int = 2           # nbCameraSamples distance samples
+    min_depth: int = 0
+    max_cam_depth: int = 8            # camera path budget to 1st diffuse GP
+    beam_tile: int = 256              # beam tile size for beam/plane scans
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientConfig(PhotonConfig):
+    """Gradient-domain options (GPMConfig, gvpm_struct.h:181-333)."""
+    recon_alpha: float = 0.2          # reconstructAlpha
+    recon_l1: bool = True             # L1 vs L2 reconstruction
+    recon_iters: int = 50             # CG iterations
+    recon_irls_iters: int = 4         # IRLS outer iterations
+    shift_null: bool = False          # nullShift MIS debug mode
+    use_manifold: bool = True
+    max_manifold_iterations: int = 5

@@ -1,0 +1,339 @@
+"""G-VPM: gradient-domain volumetric photon density estimation.
+
+The paper's contribution (reference: gvpm/gvpm.cpp GPMIntegrator): each
+progressive pass computes, besides the primal photon-density estimate,
+finite-difference gradients to the 4 neighbor pixels by SHIFTING every
+(camera path, photon) pair: the camera subpath is retraced through the
+offset pixel (shift_cameraPath.h — here: re-traced with the SAME random
+numbers, so specular/null chains reproduce structurally), and the photon
+is reconnected to a target that preserves the kernel-local offset
+(getShiftPos, shift_volume_photon.cpp:858) via the cached-parent
+reconnection shift (shift.py). MIS between base and offset sampling makes
+the pair estimator symmetric (shift_volume_photon.cpp:470-484).
+
+Per-pass buffers per pixel (gvpm_struct.h:421-641): primal flux, and per
+direction d in {right,left,down,up}: shifted flux S_d and weighted base
+flux W_d. Gradient assembly (computeGradient, gvpm.cpp:1205-1306):
+
+  Gx[x]   = (S_right[x] - W_right[x]) + (W_left[x+1] - S_left[x+1])
+  Gy[y]   = (S_down[y] - W_down[y]) + (W_up[y+1] - S_up[y+1])
+
+Final image: screened-Poisson reconstruction (ops/poisson.py) of the
+averaged primal + gradients (gvpm.cpp:609-702).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core.config import GradientConfig
+from ..core.math import coordinate_system, dot, to_local
+from ..ops import hashgrid, poisson
+from ..render import medium as med
+from ..render import phase as phmod
+from ..render.bsdf import eval_bsdf
+from . import gatherpoint, ptracer, shift, sppm
+from ..scene.types import Scene
+
+INV_PI = 1.0 / jnp.pi
+
+# shift directions: (dx, dy) in image coords; reference ERight/ELeft/
+# ETop/EBottom (gbdpt_proc.cpp:103 hard-codes the same 4-neighbor set)
+OFFSETS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+RIGHT, LEFT, DOWN, UP = 0, 1, 2, 3
+
+
+def _gp_compatible(base, sgp):
+    """Camera-subpath structure compatibility of a shifted gather point
+    (ShiftGatherPoint::generate validity, shift_cameraPath.h:29-170)."""
+    return (sgp.valid & base.valid & (sgp.depth == base.depth)
+            & (sgp.bsdf == base.bsdf))
+
+
+def surface_gradient_gather(scene: Scene, base, sgps, grid, pp, pv,
+                            n_emitted, border, max_per_cell=32):
+    """Surface photon gather with 4-direction shifts.
+
+    base: GatherPoints (radius already scaled); sgps: list of 4 shifted
+    GatherPoints. Returns (primal [N,3], S [4,N,3], W [4,N,3]).
+    """
+    n = base.p.shape[0]
+    r = base.radius
+    s_ax, t_ax = coordinate_system(base.ns)
+    wo_loc = to_local(base.ns, s_ax, t_ax, base.wo)
+    k2 = (INV_PI / jnp.maximum(r * r, 1e-12))[..., None]
+
+    comp = [_gp_compatible(base, sgps[i]) for i in range(4)]
+    sgp_frames = []
+    for i in range(4):
+        ss, tt = coordinate_system(sgps[i].ns)
+        sgp_frames.append((ss, tt, to_local(sgps[i].ns, ss, tt,
+                                            sgps[i].wo)))
+
+    def fold(carry, idx, ok, scale):
+        primal, S, W = carry
+        d2 = jnp.sum((pp[idx] - base.p) ** 2, axis=-1)
+        is_surf = pv["vtype"][idx] == 1
+        wi_p = pv["wi"][idx]
+        front = dot(base.ns, -wi_p) > 1e-4
+        inside = ok & is_surf & (d2 < r * r) & front & base.valid
+        wi_loc = to_local(base.ns, s_ax, t_ax, -wi_p)
+        f, _ = eval_bsdf(scene, base.bsdf, wo_loc, wi_loc)
+        c_base = base.thr * pv["alpha"][idx] * f * k2 * scale[..., None]
+        c_base = jnp.where(inside[..., None], c_base, 0.0)
+        primal = primal + c_base
+
+        for i in range(4):
+            ssx, ttx, wo_loc_s = sgp_frames[i]
+            new_p = sgps[i].p + (pp[idx] - base.p)
+            a_s, pdf_ratio, ok_s = shift.reconnect_photon(
+                scene, pv, idx, new_p, target_is_volume=False)
+            w_new = new_p - pv["parent_p"][idx]
+            w_new = w_new / jnp.maximum(
+                jnp.linalg.norm(w_new, axis=-1, keepdims=True), 1e-12)
+            wi_loc_s = to_local(sgps[i].ns, ssx, ttx, -w_new)
+            f_s, _ = eval_bsdf(scene, sgps[i].bsdf, wo_loc_s, wi_loc_s)
+            ok_i = ok_s & comp[i] & inside
+            c_shift = sgps[i].thr * a_s * f_s * k2 * scale[..., None]
+            w = shift.mis_weight(pdf_ratio, 1.0, ok=ok_i)
+            w = jnp.where(border[i], 1.0, w)
+            S = S.at[i].add(jnp.where(ok_i[..., None],
+                                      w[..., None] * c_shift, 0.0))
+            W = W.at[i].add(jnp.where(inside[..., None],
+                                      w[..., None] * c_base, 0.0))
+        return (primal, S, W)
+
+    init = (jnp.zeros((n, 3)), jnp.zeros((4, n, 3)), jnp.zeros((4, n, 3)))
+    primal, S, W = hashgrid.gather(grid, base.p, fold, init,
+                                   max_per_cell=max_per_cell)
+    inv = 1.0 / n_emitted
+    return primal * inv, S * inv, W * inv
+
+
+def volume_gradient_gather(scene: Scene, cb, scb_list, grid, pp, pv,
+                           n_emitted, r_vol, key, lane, border_lane,
+                           n_samples=2, max_per_cell=32):
+    """Volume (VPM/distance) gather with 4-direction shifts.
+
+    cb: base camera segments dict (flattened [M]); scb_list: 4 shifted
+    camera-segment dicts with matching layout (same [S,N] flattening).
+    lane: [M] pixel lane per segment; border_lane: [4,M] bool.
+    Returns (primal [M,3], S [4,M,3], W [4,M,3]).
+    """
+    m = cb["o"].shape[0]
+    o, d, length, mi = cb["o"], cb["d"], cb["length"], cb["med"]
+    k3 = 3.0 / (4.0 * jnp.pi * jnp.maximum(r_vol ** 3, 1e-18))
+
+    # shifted segment data: same edge index, distance copied from base
+    svalid, so, sd, sthr, slen = [], [], [], [], []
+    for i in range(4):
+        s = scb_list[i]
+        svalid.append(s["valid"] & (s["med"] == mi))
+        so.append(s["o"])
+        sd.append(s["d"])
+        sthr.append(s["thr"])
+        slen.append(s["length"])
+
+    def one_sample(k):
+        u = jax.random.uniform(k, (m,))
+        ms = med.sample_distance(scene, mi, o, d, length, u,
+                                 strategy=med.ALWAYS_VALID)
+        x = ms.p
+        t = ms.t
+        sok = cb["valid"] & ms.success
+        pdf_base_ray = jnp.maximum(ms.pdf_success, 1e-20)
+        w_cam = cb["thr"] * ms.transmittance * ms.sigma_s \
+            / pdf_base_ray[..., None]
+
+        # shifted sample points: same distance on the shifted edge
+        xs, cam_ok, pdf_ratio_cam, thr_s = [], [], [], []
+        for i in range(4):
+            ok_i = sok & svalid[i] & (slen[i] >= t)
+            xs.append(so[i] + sd[i] * t[..., None])
+            ps_i, _ = med.pdf_distance(scene, mi, t, slen[i],
+                                       jnp.zeros_like(sok),
+                                       strategy=med.ALWAYS_VALID)
+            pdf_ratio_cam.append(ps_i / pdf_base_ray)
+            cam_ok.append(ok_i)
+            # shifted camera factor: thr' * Tr(t) * sigma_s / pdf_base
+            thr_s.append(sthr[i] * ms.transmittance * ms.sigma_s
+                         / pdf_base_ray[..., None])
+
+        def fold(carry, idx, ok, scale):
+            primal, S, W = carry
+            d2 = jnp.sum((pp[idx] - x) ** 2, axis=-1)
+            is_med = pv["vtype"][idx] == 2
+            inside = ok & is_med & (d2 < r_vol * r_vol) & sok
+            pf = phmod.eval_phase(scene, mi, -pv["wi"][idx], -d)
+            c_base = w_cam * pv["alpha"][idx] * (pf * k3 * scale)[..., None]
+            c_base = jnp.where(inside[..., None], c_base, 0.0)
+            primal = primal + c_base
+
+            for i in range(4):
+                new_p = xs[i] + (pp[idx] - x)
+                a_s, pdf_ratio_l, ok_s = shift.reconnect_photon(
+                    scene, pv, idx, new_p, target_is_volume=True)
+                w_new = new_p - pv["parent_p"][idx]
+                w_new = w_new / jnp.maximum(
+                    jnp.linalg.norm(w_new, axis=-1, keepdims=True), 1e-12)
+                pf_s = phmod.eval_phase(scene, mi, -w_new, -sd[i])
+                ok_i = ok_s & cam_ok[i] & inside
+                c_shift = thr_s[i] * a_s * (pf_s * k3 * scale)[..., None]
+                w = shift.mis_weight(pdf_ratio_l, pdf_ratio_cam[i],
+                                     ok=ok_i)
+                w = jnp.where(border_lane[i], 1.0, w)
+                S = S.at[i].add(jnp.where(ok_i[..., None],
+                                          w[..., None] * c_shift, 0.0))
+                W = W.at[i].add(jnp.where(inside[..., None],
+                                          w[..., None] * c_base, 0.0))
+            return (primal, S, W)
+
+        init = (jnp.zeros((m, 3)), jnp.zeros((4, m, 3)),
+                jnp.zeros((4, m, 3)))
+        return hashgrid.gather(grid, x, fold, init,
+                               max_per_cell=max_per_cell)
+
+    keys = jax.random.split(key, n_samples)
+    primal = jnp.zeros((m, 3))
+    S = jnp.zeros((4, m, 3))
+    W = jnp.zeros((4, m, 3))
+    for k in keys:
+        p_, S_, W_ = one_sample(k)
+        primal, S, W = primal + p_, S + S_, W + W_
+    inv = 1.0 / (n_samples * n_emitted)
+    return primal * inv, S * inv, W * inv
+
+
+def assemble_gradients(primal_px, S_px, W_px, H, W_img):
+    """computeGradient (gvpm.cpp:1205-1306) on [H,W,...] buffers."""
+    def img(a):
+        return a.reshape(H, W_img, 3)
+
+    S = [img(S_px[i]) for i in range(4)]
+    Wb = [img(W_px[i]) for i in range(4)]
+    gx = S[RIGHT] - Wb[RIGHT]
+    gx = gx.at[:, :-1].add(Wb[LEFT][:, 1:] - S[LEFT][:, 1:])
+    gy = S[DOWN] - Wb[DOWN]
+    gy = gy.at[:-1, :].add(Wb[UP][1:, :] - S[UP][1:, :])
+    return img(primal_px), gx, gy
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
+def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
+                seed, it, surf_scale, vol_scale, r_vol_base):
+    """One gradient pass. Returns (primal, gx, gy) images [H,W,3]."""
+    H, W = scene.height, scene.width
+    n = H * W
+    k_cam = rng.pass_key(seed, it, rng.STREAM_CAMERA)
+    k_light = rng.pass_key(seed, it, rng.STREAM_LIGHT)
+    k_gather = rng.pass_key(seed, it, rng.STREAM_GATHER)
+
+    py, px = jnp.mgrid[0:H, 0:W]
+    px = px.reshape(-1).astype(jnp.float32)
+    py = py.reshape(-1).astype(jnp.float32)
+
+    # base + 4 offset camera paths, SAME random numbers -> same structure
+    base, cam_beams = gatherpoint.trace(scene, cfg, k_cam, px, py)
+    sgps, scbs = [], []
+    for dx, dy in OFFSETS:
+        g, cbm = gatherpoint.trace(scene, cfg, k_cam, px + dx, py + dy)
+        sgps.append(g)
+        scbs.append(cbm)
+
+    # border masks: no reverse neighbor outside the film -> weight 1
+    xi = px.astype(jnp.int32)
+    yi = py.astype(jnp.int32)
+    border = jnp.stack([xi == W - 1, xi == 0, yi == H - 1, yi == 0])
+
+    photons, beams = sppm.shoot_photons(scene, cfg, n_photons, k_light)
+    pp = photons["p"]
+
+    # ---- surface ----
+    r_surf = base.radius * surf_scale
+    base_s = base.replace(radius=r_surf)
+    surf_valid = photons["vtype"] == ptracer.VERT_SURFACE
+    cell = jnp.maximum(jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
+    grid_s = hashgrid.build(pp, surf_valid, scene.world_lo, cell,
+                            hash_size=cfg.grid_hash_size)
+    p_s, S_s, W_s = surface_gradient_gather(
+        scene, base_s, sgps, grid_s, pp, photons, n_photons, border,
+        max_per_cell=cfg.grid_max_photons_per_cell)
+
+    # ---- volume (VPM distance) ----
+    if volume == "distance":
+        r_vol = r_vol_base * vol_scale
+        med_valid = photons["vtype"] == ptracer.VERT_MEDIUM
+        grid_v = hashgrid.build(pp, med_valid, scene.medium_lo, r_vol,
+                                hash_size=cfg.grid_hash_size)
+
+        def flat_cb(c):
+            cd = jax.tree_util.tree_map(
+                lambda a: a.reshape((-1,) + a.shape[2:]), c)
+            return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
+                        med=cd.med, thr=cd.thr)
+
+        cb = flat_cb(cam_beams)
+        scb_list = [flat_cb(c) for c in scbs]
+        n_steps = cam_beams.valid.shape[0]
+        lane = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
+        border_lane = jnp.stack([jnp.tile(border[i], n_steps)
+                                 for i in range(4)])
+        p_v, S_v, W_v = volume_gradient_gather(
+            scene, cb, scb_list, grid_v, pp, photons, n_photons, r_vol,
+            k_gather, lane, border_lane, n_samples=cfg.volume_samples,
+            max_per_cell=cfg.grid_max_photons_per_cell)
+        # splat per-segment results back to pixel lanes
+        def to_px(a):
+            out = jnp.zeros((n, 3))
+            return out.at[lane].add(a, mode="drop")
+        p_s = p_s + to_px(p_v)
+        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
+        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
+
+    # ---- directly-seen emission (directTracing, gvpm.cpp:1231-1240) ----
+    p_s = p_s + base.emission
+    for i in range(4):
+        em_ok = sgps[i].emission  # shifted path emission
+        w = jnp.where(border[i], 1.0, 0.5)[..., None]
+        S_s = S_s.at[i].add(w * em_ok)
+        W_s = W_s.at[i].add(w * base.emission)
+
+    return assemble_gradients(p_s, S_s, W_s, H, W)
+
+
+def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
+           volume="distance", seed=0, passes=None, callback=None):
+    """Progressive G-VPM loop + screened-Poisson reconstruction."""
+    n_passes = passes if passes is not None else cfg.max_passes
+    n_photons = max(cfg.volume_photons, cfg.surface_photons)
+    r_vol_base = sppm.base_volume_radius(scene, cfg)
+    dim = sppm.KERNEL_DIM.get(volume, 3)
+
+    H, W = scene.height, scene.width
+    acc_p = jnp.zeros((H, W, 3))
+    acc_gx = jnp.zeros((H, W, 3))
+    acc_gy = jnp.zeros((H, W, 3))
+    surf_scale, vol_scale = 1.0, 1.0
+    for it in range(n_passes):
+        p, gx, gy = render_pass(scene, cfg, volume, n_photons, seed, it,
+                                surf_scale, vol_scale, r_vol_base)
+        acc_p, acc_gx, acc_gy = acc_p + p, acc_gx + gx, acc_gy + gy
+        ratio = sppm.radius_ratio(it, cfg.alpha)
+        surf_scale *= ratio ** 0.5
+        vol_scale *= ratio ** (1.0 / dim)
+        if callback is not None:
+            callback(it, acc_p / (it + 1))
+
+    inv = 1.0 / n_passes
+    primal = acc_p * inv
+    gx = acc_gx * inv
+    gy = acc_gy * inv
+    recon = poisson.solve(primal, gx, gy, alpha=cfg.recon_alpha,
+                          iters=cfg.recon_iters,
+                          irls_iters=cfg.recon_irls_iters, l1=cfg.recon_l1)
+    return dict(image=recon, primal=primal, gx=gx, gy=gy,
+                passes=n_passes)

@@ -1,0 +1,285 @@
+"""Batched light-path tracing (photon / beam shooting).
+
+Re-designs the reference's particle tracing stack — ParticleProcess /
+ParticleTracer (particleproc.h:45,133), GradientPhotonProcess
+(gvpm_proc.cpp:66-146) and Path::randomWalk in EImportance mode
+(libbidir/path.h:101) — as ONE fixed-shape wavefront: P paths advance in
+lockstep through a lax.scan over steps; every step emits one vertex record
+per lane (possibly invalid), so the result is a dense [S, P] vertex tensor
+that doubles as path storage for gradient shifts (the reference's decision
+to keep whole light paths alive for shift replay, gvpm_accel.h:17-28).
+
+Photon power convention: `alpha` stored at a vertex is the power *arriving*
+(emission x all previous scatter weights x transmittance/pdf of the last
+segment) — the local sigma_s / BSDF is applied at gather time by the
+estimators, and folded into alpha only when the walk continues.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import PhotonConfig
+from ..core.math import coordinate_system, dot, normalize, to_local, to_world
+from ..render import medium as med
+from ..render import phase as ph
+from ..render.bsdf import is_diffuse_like, sample_bsdf
+from ..render.emitter import sample_direction, sample_position
+from ..render.visibility import medium_transition
+from ..scene.types import BSDF_NULL, Scene
+
+RAY_EPS = 1e-4
+
+VERT_NONE = 0
+VERT_SURFACE = 1
+VERT_MEDIUM = 2
+
+
+@flax.struct.dataclass
+class LightVertices:
+    """Per-step vertex records, shape [S, P, ...] (flattenable to [S*P]).
+
+    The parent_* / *_base fields are the gradient-shift caches: everything
+    needed to re-evaluate a reconnection of the last path segment without
+    replaying the walk (the TPU analog of the reference's decision to keep
+    (lightPath, vertexId) provenance in the photon map, gvpm_accel.h:17-28,
+    and of PathVertex's cached weights/pdfs, vertex.h).
+    """
+    vtype: jnp.ndarray    # int32: VERT_*
+    p: jnp.ndarray        # [.,3] position
+    wi: jnp.ndarray       # [.,3] direction arriving at the vertex (unit,
+                          #        pointing FROM prev vertex TO this one)
+    alpha: jnp.ndarray    # [.,3] power arriving at the vertex
+    med: jnp.ndarray      # int32 medium at the vertex (-1 at surfaces)
+    bsdf: jnp.ndarray     # int32 bsdf at surface vertices (-1 else)
+    ns: jnp.ndarray       # [.,3] shading normal (surface only)
+    path: jnp.ndarray     # int32 path id (lane)
+    depth: jnp.ndarray    # int32 scatter count at this vertex (1 = first)
+    # ---- shift caches: parent vertex + base-segment quantities ----
+    parent_p: jnp.ndarray      # [.,3] previous stored vertex (or emitter)
+    parent_type: jnp.ndarray   # int32 VERT_NONE=emitter,SURFACE,MEDIUM
+    parent_wi: jnp.ndarray     # [.,3] direction arriving at the parent
+    parent_ns: jnp.ndarray     # [.,3] normal at parent (emitter/surface)
+    parent_bsdf: jnp.ndarray   # int32
+    parent_med: jnp.ndarray    # int32 medium at parent (phase eval)
+    scatter_base: jnp.ndarray  # [.,3] scatter value at parent toward this
+                               #       vertex (sigma_s*p | f*cos | cos_e)
+    seg_tr: jnp.ndarray        # [.,3] transmittance of the base segment
+    pdf_dir_base: jnp.ndarray  # [.] solid-angle pdf of the base direction
+    pdf_dist_base: jnp.ndarray # [.] distance pdf of the base segment
+                               #     (incl. null-crossing failure factors)
+    reconnectable: jnp.ndarray # [.] bool: parent admits a reconnection
+                               #     shift (diffuse-like / medium / emitter)
+
+
+@flax.struct.dataclass
+class LightBeams:
+    """Medium-traversing segments of light paths (photon beams).
+
+    reference: LTBeamMap::tryAppendLT stores every medium edge
+    (gvpm_beams.h:54-84). alpha is the power at the segment START; the
+    1D/3D beam estimators apply transmittance along the segment.
+    """
+    valid: jnp.ndarray    # [S,P] bool
+    o: jnp.ndarray        # [S,P,3] segment origin
+    d: jnp.ndarray        # [S,P,3] unit direction
+    length: jnp.ndarray   # [S,P]
+    alpha: jnp.ndarray    # [S,P,3]
+    med: jnp.ndarray      # [S,P] int32 medium of the segment
+    path: jnp.ndarray     # [S,P] int32
+    depth: jnp.ndarray    # [S,P] int32 scatter count before this edge
+
+
+def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
+    """Trace n_paths light paths; returns (LightVertices, LightBeams).
+
+    Normalization: estimators divide by n_paths (photon count), matching
+    the reference's per-emitted-path scaling (GatherPhotonProcess).
+    """
+    n = n_paths
+    n_steps = cfg.max_depth + cfg.null_bounces
+    k_pos, k_dir, k_walk = jax.random.split(key, 3)
+
+    # --- emission: flux-weighted position + cosine direction -------------
+    es = sample_position(scene, jax.random.uniform(k_pos, (n, 3)))
+    d0, pdf_dir = sample_direction(scene, es,
+                                   jax.random.uniform(k_dir, (n, 2)))
+    cos_e = jnp.maximum(dot(es.n, d0), 0.0)
+    alpha0 = es.radiance * (cos_e / jnp.maximum(
+        es.pdf_area * pdf_dir, 1e-20))[..., None]
+    alpha0 = jnp.where(es.valid[..., None], alpha0, 0.0)
+    med0 = medium_transition(scene, es.prim, es.n, d0)
+
+    state = dict(
+        o=es.p + es.n * RAY_EPS, d=d0, med=med0, alpha=alpha0,
+        active=es.valid & (cos_e > 0),
+        depth=jnp.zeros((n,), jnp.int32),
+        # parent caches (start at the emitter; cosine emission lobe)
+        pp_p=es.p, pp_type=jnp.zeros((n,), jnp.int32),
+        pp_wi=es.n, pp_ns=es.n,
+        pp_bsdf=jnp.full((n,), -1, jnp.int32), pp_med=med0,
+        pp_scatter=jnp.broadcast_to(cos_e[..., None], (n, 3)),
+        pp_pdf_dir=pdf_dir, pp_reconn=jnp.ones((n,), bool),
+        seg_tr=jnp.ones((n, 3)), seg_pdffail=jnp.ones((n,)),
+    )
+    step_keys = jax.random.split(k_walk, n_steps)
+
+    from ..scene.intersect import intersect
+
+    def body(state, k):
+        k_med, k_scat, k_rr = jax.random.split(k, 3)
+        o, d, cur_med = state["o"], state["d"], state["med"]
+        alpha, active = state["alpha"], state["active"]
+
+        hit = intersect(scene, o, d)
+        t_far = jnp.where(hit.valid, hit.t, jnp.inf)
+        u_med = jax.random.uniform(k_med, (n, 2))
+        ms = med.sample_distance(scene, cur_med, o, d, t_far,
+                                 u_med[:, 0], u_channel=u_med[:, 1])
+
+        mevt = active & ms.success
+        sevt = active & ~ms.success & hit.valid
+
+        # beam record: the medium edge traversed this step
+        seg_len = jnp.where(ms.success, ms.t, t_far)
+        in_scat_med = (cur_med >= 0)
+        beam_valid = active & in_scat_med & jnp.isfinite(seg_len) \
+            & (seg_len > 1e-6)
+        beam = dict(valid=beam_valid, o=o, d=d,
+                    length=jnp.where(jnp.isfinite(seg_len), seg_len, 0.0),
+                    alpha=alpha, med=cur_med, path=jnp.arange(n, dtype=jnp.int32),
+                    depth=state["depth"])
+
+        # --- vertex record ---
+        alpha_in_med = alpha * ms.transmittance / jnp.maximum(
+            ms.pdf_success, 1e-20)[..., None]
+        alpha_in_surf = alpha * ms.transmittance / jnp.maximum(
+            ms.pdf_failure, 1e-20)[..., None]
+
+        bi = jnp.clip(scene.prim_bsdf(hit.prim), 0,
+                      scene.bsdf_type.shape[0] - 1)
+        is_null = scene.bsdf_type[bi] == BSDF_NULL
+        store_surf = sevt & ~is_null
+
+        vtype = jnp.where(mevt, VERT_MEDIUM,
+                          jnp.where(store_surf, VERT_SURFACE, VERT_NONE))
+        seg_tr_full = state["seg_tr"] * ms.transmittance
+        vert = dict(
+            vtype=vtype.astype(jnp.int32),
+            p=jnp.where(mevt[..., None], ms.p, hit.p),
+            wi=d,
+            alpha=jnp.where(mevt[..., None], alpha_in_med, alpha_in_surf),
+            med=jnp.where(mevt, cur_med, -1),
+            bsdf=jnp.where(store_surf, bi, -1).astype(jnp.int32),
+            ns=hit.ns,
+            path=jnp.arange(n, dtype=jnp.int32),
+            depth=state["depth"] + 1,
+            parent_p=state["pp_p"], parent_type=state["pp_type"],
+            parent_wi=state["pp_wi"], parent_ns=state["pp_ns"],
+            parent_bsdf=state["pp_bsdf"], parent_med=state["pp_med"],
+            scatter_base=state["pp_scatter"], seg_tr=seg_tr_full,
+            pdf_dir_base=state["pp_pdf_dir"],
+            pdf_dist_base=state["seg_pdffail"] * jnp.where(
+                mevt, ms.pdf_success, ms.pdf_failure),
+            reconnectable=state["pp_reconn"],
+        )
+
+        # --- continue the walk ---
+        # medium: sample phase; surface: sample BSDF (importance mode)
+        u2 = jax.random.uniform(k_scat, (n, 2))
+        wo_med, pdf_phase = ph.sample_phase(scene, cur_med, -d, u2)
+        alpha_med_out = alpha_in_med * ms.sigma_s
+
+        ns = hit.ns * jnp.sign(dot(hit.ns, -d, keepdims=True))
+        s_ax, t_ax = coordinate_system(ns)
+        wi_loc = to_local(ns, s_ax, t_ax, -d)
+        u3 = jax.random.uniform(k_scat, (n, 3))
+        bs = sample_bsdf(scene, bi, wi_loc, u3, transport="importance")
+        wo_surf = to_world(ns, s_ax, t_ax, bs.wo)
+        alpha_surf_out = alpha_in_surf * bs.weight
+
+        new_d = jnp.where(mevt[..., None], wo_med,
+                          jnp.where(sevt[..., None], wo_surf, d))
+        new_o = jnp.where(mevt[..., None], ms.p,
+                          jnp.where(sevt[..., None],
+                                    hit.p + hit.ng * jnp.sign(
+                                        dot(hit.ng, wo_surf, keepdims=True))
+                                    * RAY_EPS, o))
+        new_alpha = jnp.where(mevt[..., None], alpha_med_out,
+                              jnp.where(sevt[..., None], alpha_surf_out,
+                                        alpha))
+        crossed = sevt & (dot(wo_surf, hit.ng) * dot(-d, hit.ng) < 0.0)
+        new_med = jnp.where(mevt, cur_med,
+                            jnp.where(crossed,
+                                      medium_transition(scene, hit.prim,
+                                                        hit.ng, wo_surf),
+                                      cur_med))
+        advances = mevt | store_surf
+        new_depth = state["depth"] + advances.astype(jnp.int32)
+
+        dead = (~hit.valid & ~ms.success) | (new_depth >= cfg.max_depth) \
+            | (jnp.max(new_alpha, axis=-1) <= 0.0) | (sevt & ~bs.valid)
+        q = jnp.minimum(
+            jnp.max(new_alpha, axis=-1)
+            / jnp.maximum(jnp.max(alpha, axis=-1), 1e-20), cfg.rr_clamp)
+        do_rr = (new_depth >= cfg.rr_depth_photon) & active & advances
+        u_rr = jax.random.uniform(k_rr, (n,))
+        rr_kill = do_rr & (u_rr >= q)
+        new_alpha = jnp.where((do_rr & ~rr_kill)[..., None],
+                              new_alpha / jnp.maximum(q, 1e-6)[..., None],
+                              new_alpha)
+        new_active = active & ~dead & ~rr_kill
+
+        # --- parent-cache carries for the NEXT segment ---
+        stored = mevt | store_surf
+        scatter_med_new = ms.sigma_s * pdf_phase[..., None]
+        scatter_surf_new = bs.weight * bs.pdf[..., None]   # f*cos (0 delta)
+        reconn_surf = is_diffuse_like(scene, bi, cfg.bounce_roughness) \
+            & ~bs.is_delta
+
+        def upd(old, new):
+            m = stored
+            if new.ndim > m.ndim:
+                m = m[..., None]
+            return jnp.where(m, new, old)
+
+        null_cross = sevt & is_null
+        new_state = dict(
+            o=new_o, d=new_d, med=new_med, alpha=new_alpha,
+            active=new_active, depth=new_depth,
+            pp_p=upd(state["pp_p"], vert["p"]),
+            pp_type=upd(state["pp_type"], vtype.astype(jnp.int32)),
+            pp_wi=upd(state["pp_wi"], d),
+            pp_ns=upd(state["pp_ns"], hit.ns),
+            pp_bsdf=upd(state["pp_bsdf"], vert["bsdf"]),
+            pp_med=upd(state["pp_med"], jnp.where(mevt, cur_med, -1)),
+            pp_scatter=upd(state["pp_scatter"],
+                           jnp.where(mevt[..., None], scatter_med_new,
+                                     scatter_surf_new)),
+            pp_pdf_dir=upd(state["pp_pdf_dir"],
+                           jnp.where(mevt, pdf_phase, bs.pdf)),
+            pp_reconn=upd(state["pp_reconn"],
+                          jnp.where(mevt, True, reconn_surf)),
+            seg_tr=jnp.where(stored[..., None], 1.0,
+                             jnp.where(null_cross[..., None],
+                                       seg_tr_full, state["seg_tr"])),
+            seg_pdffail=jnp.where(
+                stored, 1.0,
+                jnp.where(null_cross,
+                          state["seg_pdffail"] * ms.pdf_failure,
+                          state["seg_pdffail"])),
+        )
+        return new_state, (vert, beam)
+
+    _, (verts, beams) = lax.scan(body, state, step_keys)
+    return (LightVertices(**verts), LightBeams(**beams))
+
+
+def flatten_vertices(lv: LightVertices):
+    """[S,P,...] -> [S*P,...] dict of arrays with a validity mask."""
+    flat = jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), lv)
+    return flat, flat.vtype != VERT_NONE

@@ -1,0 +1,241 @@
+"""Volumetric path tracer with NEE + MIS (reference: integrators/volpath).
+
+TPU design: a wavefront of W*H*spp lanes advanced in lockstep through a
+`lax.scan` over bounces; data-dependent control (medium vs surface event,
+null crossings, RR termination) becomes masked lane updates. This is the
+"minimum end-to-end slice" integrator that validates the scene/BSDF/medium
+stack (SURVEY.md §7 step 3) and the primal baseline for G-PT.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import rng
+from ..core.config import VolPathConfig
+from ..core.math import coordinate_system, dot, normalize, to_local, to_world
+from ..render import medium as med
+from ..render import phase as ph
+from ..render.bsdf import eval_bsdf, sample_bsdf
+from ..render.emitter import eval_radiance, pdf_direct_area, sample_position
+from ..render.visibility import medium_transition, segment_transmittance
+from ..scene.camera import generate_rays
+from ..scene.intersect import intersect
+from ..scene.types import BSDF_NULL, Scene
+
+RAY_EPS = 1e-4
+
+
+def _offset_ray(p, n, d):
+    """Offset origin along the geometric normal toward the outgoing side."""
+    side = jnp.sign(dot(n, d, keepdims=True))
+    return p + n * side * RAY_EPS
+
+
+def _mis(pdf_a, pdf_b):
+    """Balance heuristic weight for strategy a."""
+    return pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-20)
+
+
+def _light_pdf_sa(scene, prim, p_light, n_light, p_from):
+    """Solid-angle pdf at p_from of NEE sampling the point p_light."""
+    seg = p_light - p_from
+    d2 = jnp.maximum(dot(seg, seg), 1e-12)
+    wl = seg / jnp.sqrt(d2)[..., None]
+    cos_l = jnp.maximum(dot(n_light, -wl), 0.0)
+    pdf_a = pdf_direct_area(scene, prim)
+    return jnp.where(cos_l > 1e-6, pdf_a * d2 / jnp.maximum(cos_l, 1e-6), 0.0)
+
+
+def _nee(scene, key, p, med_idx, throughput, f_of_dir):
+    """Shared next-event estimation from a vertex at p.
+
+    f_of_dir(wl) -> (f [N,3], pdf_dir [N]): scatter value toward light dir.
+    Returns radiance contribution [N,3].
+    """
+    n = p.shape[0]
+    u3 = jax.random.uniform(key, (n, 3))
+    es = sample_position(scene, u3)
+    seg = es.p - p
+    d2 = jnp.maximum(dot(seg, seg), 1e-12)
+    dist = jnp.sqrt(d2)
+    wl = seg / dist[..., None]
+    cos_l = dot(es.n, -wl)
+    ok = es.valid & (cos_l > 1e-6) & (es.pdf_area > 0)
+    pdf_sa = es.pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
+    f, pdf_dir = f_of_dir(wl)
+    tr = segment_transmittance(scene, p, es.p, med_idx)
+    w = _mis(pdf_sa, pdf_dir)
+    contrib = (throughput * f * tr * es.radiance
+               * (w / jnp.maximum(pdf_sa, 1e-20))[..., None])
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
+    """Estimate incident radiance along rays (o, d). Returns [N,3]."""
+    n = o.shape[0]
+    n_steps = cfg.max_depth + cfg.null_bounces
+
+    state = dict(
+        o=o, d=d, med=jnp.broadcast_to(med_idx, (n,)),
+        throughput=jnp.ones((n, 3)),
+        L=jnp.zeros((n, 3)),
+        active=jnp.ones((n,), bool),
+        spec=jnp.ones((n,), bool),       # camera "bounce" counts as delta
+        last_pdf=jnp.zeros((n,)),
+        depth=jnp.zeros((n,), jnp.int32),
+    )
+    step_keys = jax.random.split(key, n_steps)
+
+    def body(state, k):
+        k_med, k_nee, k_scat, k_rr = jax.random.split(k, 4)
+        o, d = state["o"], state["d"]
+        active = state["active"]
+        thr = state["throughput"]
+        cur_med = state["med"]
+
+        hit = intersect(scene, o, d)
+        t_far = jnp.where(hit.valid, hit.t, jnp.inf)
+
+        # Media can only be sampled when t_far is finite or vacuum lane
+        u_med = jax.random.uniform(k_med, (n, 2))
+        ms = med.sample_distance(scene, cur_med, o, d, t_far,
+                                 u_med[:, 0], u_channel=u_med[:, 1])
+
+        # ---------------- medium event ----------------
+        mevt = active & ms.success
+        thr_med = thr * ms.sigma_s * ms.transmittance \
+            / jnp.maximum(ms.pdf_success, 1e-20)[..., None]
+
+        u2 = jax.random.uniform(k_scat, (n, 2))
+        wo_med, pdf_med = ph.sample_phase(scene, cur_med, -d, u2)
+
+        # ---------------- surface event ----------------
+        sevt = active & ~ms.success & hit.valid
+        thr_surf = thr * ms.transmittance \
+            / jnp.maximum(ms.pdf_failure, 1e-20)[..., None]
+
+        # emitter hit: MIS against the NEE strategy
+        Le = eval_radiance(scene, hit.prim, hit.ng, -d)
+        pdf_l_sa = _light_pdf_sa(scene, hit.prim, hit.p, hit.ng, o)
+        w_hit = jnp.where(state["spec"] | jnp.logical_not(cfg.nee),
+                          1.0, _mis(state["last_pdf"], pdf_l_sa))
+        L_hit = thr_surf * Le * w_hit[..., None]
+
+        # local frame at hit
+        ns = hit.ns * jnp.sign(dot(hit.ns, -d, keepdims=True))  # face viewer
+        s_ax, t_ax = coordinate_system(ns)
+        wi_loc = to_local(ns, s_ax, t_ax, -d)
+        bi = jnp.clip(scene.prim_bsdf(hit.prim), 0,
+                      scene.bsdf_type.shape[0] - 1)
+        is_null = scene.bsdf_type[bi] == BSDF_NULL
+
+        u3 = jax.random.uniform(k_scat, (n, 3))
+        bs = sample_bsdf(scene, bi, wi_loc, u3)
+        wo_surf = to_world(ns, s_ax, t_ax, bs.wo)
+
+        # ---------------- merged NEE (one shadow batch per bounce) --------
+        if cfg.nee:
+            def scatter_f(wl):
+                # medium lanes: phase; surface lanes: bsdf * |cos|
+                f_ph_ = ph.eval_phase(scene, cur_med, -d, wl)
+                wl_loc = to_local(ns, s_ax, t_ax, wl)
+                f_b, pdf_b = eval_bsdf(scene, bi, wi_loc, wl_loc)
+                f_b = f_b * jnp.abs(wl_loc[..., 2:3])
+                f = jnp.where(mevt[..., None],
+                              f_ph_[..., None] * jnp.ones((1, 3)), f_b)
+                pdf = jnp.where(mevt, f_ph_, pdf_b)
+                return f, pdf
+
+            p_nee = jnp.where(mevt[..., None], ms.p,
+                              _offset_ray(hit.p, hit.ng, -d))
+            thr_nee = jnp.where(mevt[..., None], thr_med, thr_surf)
+            L_nee = _nee(scene, k_nee, p_nee, cur_med, thr_nee, scatter_f)
+            L_nee = jnp.where((mevt | (sevt & ~is_null))[..., None],
+                              L_nee, 0.0)
+        else:
+            L_nee = jnp.zeros((n, 3))
+
+        # ---------------- merge events ----------------
+        L = state["L"] + L_nee \
+            + jnp.where(sevt[..., None], L_hit, 0.0)
+
+        new_d = jnp.where(mevt[..., None], wo_med,
+                          jnp.where(sevt[..., None], wo_surf, d))
+        new_o = jnp.where(mevt[..., None], ms.p,
+                          jnp.where(sevt[..., None],
+                                    _offset_ray(hit.p, hit.ng, wo_surf), o))
+        new_thr = jnp.where(mevt[..., None], thr_med,
+                            jnp.where(sevt[..., None],
+                                      thr_surf * bs.weight, thr))
+        # medium transition on transmission through the surface
+        crossed = sevt & (dot(wo_surf, hit.ng) * dot(-d, hit.ng) < 0.0)
+        new_med = jnp.where(crossed,
+                            medium_transition(scene, hit.prim, hit.ng,
+                                              wo_surf), cur_med)
+
+        new_spec = jnp.where(mevt, False,
+                             jnp.where(sevt, bs.is_delta, state["spec"]))
+        new_pdf = jnp.where(mevt, pdf_med,
+                            jnp.where(sevt, bs.pdf, state["last_pdf"]))
+
+        # depth bookkeeping: null passthrough does not advance depth
+        advances = mevt | (sevt & ~is_null)
+        new_depth = state["depth"] + advances.astype(jnp.int32)
+
+        dead = (~hit.valid & ~ms.success) | (new_depth >= cfg.max_depth) \
+            | (jnp.max(new_thr, axis=-1) <= 0.0) | ~bs.valid & sevt
+        # Russian roulette
+        q = jnp.minimum(jnp.max(new_thr, axis=-1), cfg.rr_clamp)
+        do_rr = (new_depth >= cfg.rr_depth) & active
+        u_rr = jax.random.uniform(k_rr, (n,))
+        rr_kill = do_rr & (u_rr >= q)
+        new_thr = jnp.where((do_rr & ~rr_kill)[..., None],
+                            new_thr / jnp.maximum(q, 1e-6)[..., None],
+                            new_thr)
+        new_active = active & ~dead & ~rr_kill
+
+        return dict(o=new_o, d=new_d, med=new_med, throughput=new_thr, L=L,
+                    active=new_active, spec=new_spec, last_pdf=new_pdf,
+                    depth=new_depth), None
+
+    state, _ = lax.scan(body, state, step_keys)
+    return state["L"]
+
+
+def render(scene: Scene, cfg: VolPathConfig = VolPathConfig(), seed=0,
+           max_lanes=1 << 20):
+    """Render the full frame; returns [H,W,3].
+
+    Batches as many spp as fit into `max_lanes` wavefront lanes per jitted
+    pass — the TPU-native replacement for the reference's per-block sample
+    loops (BlockedRenderProcess, renderproc.h:38)."""
+    H, W = scene.height, scene.width
+    spp_per_pass = max(1, min(cfg.spp, max_lanes // (H * W)))
+    n_passes = -(-cfg.spp // spp_per_pass)
+
+    @functools.partial(jax.jit, static_argnames=("nspp",))
+    def one_pass(it, nspp):
+        key = rng.pass_key(seed, it, rng.STREAM_CAMERA)
+        k_pix, k_path = jax.random.split(key)
+        py, px = jnp.mgrid[0:H, 0:W]
+        px = jnp.tile(px.reshape(-1), nspp).astype(jnp.float32)
+        py = jnp.tile(py.reshape(-1), nspp).astype(jnp.float32)
+        u = jax.random.uniform(k_pix, (nspp * H * W, 2))
+        o, d, _ = generate_rays(scene, px, py, u)
+        L = trace_radiance(scene, cfg, o, d, scene.cam_medium, k_path)
+        return jnp.mean(L.reshape(nspp, H, W, 3), axis=0)
+
+    img = jnp.zeros((H, W, 3))
+    done = 0
+    it = 0
+    while done < cfg.spp:
+        nspp = min(spp_per_pass, cfg.spp - done)
+        img = img + one_pass(it, nspp) * nspp
+        done += nspp
+        it += 1
+    return img / cfg.spp

@@ -1,0 +1,115 @@
+"""Spatial hash grid: the TPU-native photon index.
+
+Replaces the reference's left-balanced PointKDTree (kdtree.h:217,
+photonmap.h:34): pointer-free, build = one sort, query = fixed-fanout
+gathers — exactly the memory-access shape the TPU likes. The radius-r
+range query visits the 27 neighbor cells (requires r <= cell_size) with a
+static per-cell photon cap; hash collisions are deduplicated by comparing
+exact cell coordinates, so estimates stay unbiased.
+
+Build is O(P log P) (argsort); query is O(Q * 27 * K) gathers, K =
+max_photons_per_cell. All shapes static -> one XLA compilation.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+P1, P2, P3 = 73856093, 19349663, 83492791  # classic spatial-hash primes
+
+NEIGHBOR_OFFSETS = [(ox, oy, oz)
+                    for ox in (-1, 0, 1)
+                    for oy in (-1, 0, 1)
+                    for oz in (-1, 0, 1)]
+
+
+@flax.struct.dataclass
+class HashGrid:
+    origin: jnp.ndarray       # [3]
+    cell_size: jnp.ndarray    # []
+    sorted_idx: jnp.ndarray   # [P] photon index ordered by bucket
+    cell_key: jnp.ndarray     # [P] bucket of each *sorted* photon
+    cell_of: jnp.ndarray      # [P,3] int32 cell coords per photon (unsorted)
+    bucket_start: jnp.ndarray  # [H+1]
+    hash_size: int = flax.struct.field(pytree_node=False, default=1 << 18)
+
+
+def _cell_coords(origin, cell_size, p):
+    return jnp.floor((p - origin) / cell_size).astype(jnp.int32)
+
+
+def _bucket(cell, hash_size):
+    h = (cell[..., 0] * P1) ^ (cell[..., 1] * P2) ^ (cell[..., 2] * P3)
+    return (h & (hash_size - 1)).astype(jnp.int32)
+
+
+def build(positions, valid, origin, cell_size, hash_size=1 << 18):
+    """positions [P,3]; invalid photons land in an overflow bucket."""
+    cell = _cell_coords(origin, cell_size, positions)
+    b = _bucket(cell, hash_size)
+    b = jnp.where(valid, b, hash_size)  # overflow bucket (never queried)
+    order = jnp.argsort(b)
+    b_sorted = b[order]
+    bucket_start = jnp.searchsorted(
+        b_sorted, jnp.arange(hash_size + 1, dtype=b_sorted.dtype)
+    ).astype(jnp.int32)
+    return HashGrid(origin=origin, cell_size=jnp.asarray(cell_size),
+                    sorted_idx=order.astype(jnp.int32), cell_key=b_sorted,
+                    cell_of=cell, bucket_start=bucket_start,
+                    hash_size=hash_size)
+
+
+def gather(grid: HashGrid, x, fold, init, max_per_cell=32,
+           compensate_overflow=True):
+    """Fold over all photons whose cell is within the 27-neighborhood of x.
+
+    x: [Q,3] query points. fold(carry, ph_idx [Q] int32, valid [Q] bool,
+    scale [Q] f32) -> carry. Photons are visited at most once per query
+    (exact cell-coord match filters hash collisions). Caller applies the
+    actual distance test inside `fold` and multiplies contributions by
+    `scale`.
+
+    Overflow compensation: when a cell holds more than `max_per_cell`
+    photons, only the first K (a uniformly random subset — photon order
+    within a cell is independent of position) are visited, each scaled by
+    count/K. This keeps the estimator unbiased where a hard cap would
+    silently drop energy; the count is per hash *bucket*, exact up to
+    rare hash collisions at sane load factors.
+    """
+    qcell = _cell_coords(grid.origin, grid.cell_size, x)  # [Q,3]
+    carry = init
+    for off in NEIGHBOR_OFFSETS:
+        ncell = qcell + jnp.asarray(off, jnp.int32)
+        nb = _bucket(ncell, grid.hash_size)
+        start = grid.bucket_start[nb]
+        end = grid.bucket_start[nb + 1]
+        full = end - start
+        count = jnp.minimum(full, max_per_cell)
+        if compensate_overflow:
+            scale = jnp.maximum(full, 1).astype(jnp.float32) \
+                / jnp.maximum(count, 1).astype(jnp.float32)
+            scale = jnp.where(full > max_per_cell, scale, 1.0)
+        else:
+            scale = jnp.ones(x.shape[:-1], jnp.float32)
+
+        def body(k, carry):
+            slot = jnp.clip(start + k, 0, grid.sorted_idx.shape[0] - 1)
+            idx = grid.sorted_idx[slot]
+            ok = k < count
+            # exact-cell check kills hash collisions and double visits
+            ok = ok & jnp.all(grid.cell_of[idx] == ncell, axis=-1)
+            return fold(carry, idx, ok, scale)
+
+        carry = lax.fori_loop(0, max_per_cell, body, carry)
+    return carry
+
+
+def cell_histogram(grid: HashGrid):
+    """Occupancy diagnostics: (max, mean nonzero) photons per bucket."""
+    counts = grid.bucket_start[1:] - grid.bucket_start[:-1]
+    nz = counts > 0
+    return (int(jnp.max(counts)),
+            float(jnp.sum(counts) / jnp.maximum(jnp.sum(nz), 1)))

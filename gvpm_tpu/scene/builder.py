@@ -1,0 +1,318 @@
+"""Host-side scene construction (numpy), compiled into a `Scene` pytree.
+
+Replaces the reference's XML SceneHandler + Properties + PluginManager
+pipeline (reference: include/mitsuba/render/scenehandler.h:83,
+src/libcore/properties.cpp, plugin.cpp) with a small imperative Python API:
+
+    b = SceneBuilder()
+    white = b.diffuse([0.8, 0.8, 0.8])
+    med   = b.homogeneous(sigma_a=[...], sigma_s=[...], g=0.0)
+    b.rectangle(origin, edge1, edge2, bsdf=white)
+    b.area_light(..., radiance=[10,10,10])
+    b.camera(origin, target, up, fov=45)
+    scene = b.build()
+
+All geometry becomes triangles or analytic spheres; emitters are area
+emitters attached to prims (the only type gvpm supports — reference
+gvpm.cpp:148-158 errors on anything else).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.spectrum import luminance
+from .types import (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_NULL,
+                    BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR,
+                    BSDF_ROUGH_DIELECTRIC, NO_EMITTER, NO_MEDIUM, PHASE_HG,
+                    PHASE_ISOTROPIC, Scene)
+
+
+def _v(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def look_at(origin, target, up):
+    """Camera-to-world matrix; camera space: +x right, +y up, +z forward."""
+    origin, target, up = _v(origin), _v(target), _v(up)
+    fwd = target - origin
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    if np.linalg.norm(right) < 1e-8:
+        raise ValueError("up parallel to viewing direction")
+    right /= np.linalg.norm(right)
+    new_up = np.cross(right, fwd)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0] = right
+    m[:3, 1] = new_up
+    m[:3, 2] = fwd
+    m[:3, 3] = origin
+    return m
+
+
+class SceneBuilder:
+    def __init__(self):
+        self._tris = []          # (p0, e1, e2, vn(3,3), bsdf, emitter, mi, mo)
+        self._spheres = []       # (c, r, bsdf, emitter, mi, mo)
+        self._bsdfs = []         # dict rows
+        self._media = []         # dict rows
+        self._emitters = []      # radiance rows
+        self._cam = None
+        self._cam_medium = NO_MEDIUM
+
+    # ---------------- materials ----------------
+    def _add_bsdf(self, **row):
+        base = dict(type=BSDF_DIFFUSE, albedo=(0.5, 0.5, 0.5), eta=1.5,
+                    k=(0.0, 0.0, 0.0), eta3=(1.0, 1.0, 1.0), alpha=0.1)
+        base.update(row)
+        self._bsdfs.append(base)
+        return len(self._bsdfs) - 1
+
+    def diffuse(self, albedo):
+        return self._add_bsdf(type=BSDF_DIFFUSE, albedo=tuple(albedo))
+
+    def conductor(self, eta3=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+                  reflectance=(1.0, 1.0, 1.0)):
+        return self._add_bsdf(type=BSDF_CONDUCTOR, albedo=tuple(reflectance),
+                              eta3=tuple(eta3), k=tuple(k))
+
+    def dielectric(self, int_ior=1.5, ext_ior=1.0):
+        return self._add_bsdf(type=BSDF_DIELECTRIC, eta=int_ior / ext_ior,
+                              albedo=(1.0, 1.0, 1.0))
+
+    def rough_conductor(self, alpha=0.1, eta3=(0.2, 0.92, 1.1),
+                        k=(3.9, 2.45, 2.14), reflectance=(1.0, 1.0, 1.0)):
+        return self._add_bsdf(type=BSDF_ROUGH_CONDUCTOR, alpha=alpha,
+                              albedo=tuple(reflectance), eta3=tuple(eta3),
+                              k=tuple(k))
+
+    def rough_dielectric(self, alpha=0.1, int_ior=1.5, ext_ior=1.0):
+        return self._add_bsdf(type=BSDF_ROUGH_DIELECTRIC, alpha=alpha,
+                              eta=int_ior / ext_ior, albedo=(1.0, 1.0, 1.0))
+
+    def phong(self, diffuse=(0.5, 0.5, 0.5), specular=(0.2, 0.2, 0.2),
+              exponent=30.0):
+        # phong stores: albedo = diffuse refl, k = specular refl, alpha = exponent
+        return self._add_bsdf(type=BSDF_PHONG, albedo=tuple(diffuse),
+                              k=tuple(specular), alpha=exponent)
+
+    def plastic(self, diffuse=(0.5, 0.5, 0.5), int_ior=1.49):
+        return self._add_bsdf(type=BSDF_PLASTIC, albedo=tuple(diffuse),
+                              eta=int_ior)
+
+    def null_bsdf(self):
+        return self._add_bsdf(type=BSDF_NULL, albedo=(1.0, 1.0, 1.0))
+
+    # ---------------- media ----------------
+    def homogeneous(self, sigma_a, sigma_s, g=0.0):
+        phase = PHASE_ISOTROPIC if abs(g) < 1e-6 else PHASE_HG
+        self._media.append(dict(sigma_a=tuple(sigma_a), sigma_s=tuple(sigma_s),
+                                g=g, phase=phase))
+        return len(self._media) - 1
+
+    # ---------------- emitters ----------------
+    def _add_emitter(self, radiance):
+        self._emitters.append(tuple(radiance))
+        return len(self._emitters) - 1
+
+    # ---------------- geometry ----------------
+    def triangle(self, p0, p1, p2, bsdf, emitter=NO_EMITTER,
+                 med_in=NO_MEDIUM, med_out=NO_MEDIUM, normals=None):
+        p0, p1, p2 = _v(p0), _v(p1), _v(p2)
+        e1, e2 = p1 - p0, p2 - p0
+        ng = np.cross(e1, e2)
+        n = np.linalg.norm(ng)
+        if n < 1e-12:
+            return
+        ng = ng / n
+        vn = np.stack([ng, ng, ng]) if normals is None else _v(normals)
+        self._tris.append((p0, e1, e2, vn, bsdf, emitter, med_in, med_out))
+
+    def rectangle(self, origin, edge1, edge2, bsdf, emitter=NO_EMITTER,
+                  med_in=NO_MEDIUM, med_out=NO_MEDIUM):
+        """Two triangles; geometric normal = edge1 x edge2 direction."""
+        o, e1, e2 = _v(origin), _v(edge1), _v(edge2)
+        self.triangle(o, o + e1, o + e1 + e2, bsdf, emitter, med_in, med_out)
+        self.triangle(o, o + e1 + e2, o + e2, bsdf, emitter, med_in, med_out)
+
+    def cube(self, lo, hi, bsdf, emitter=NO_EMITTER, med_in=NO_MEDIUM,
+             med_out=NO_MEDIUM, inward=False):
+        """Axis-aligned box; normals face outward unless inward=True."""
+        lo, hi = _v(lo), _v(hi)
+        d = hi - lo
+        ex, ey, ez = (np.array([d[0], 0, 0], np.float32),
+                      np.array([0, d[1], 0], np.float32),
+                      np.array([0, 0, d[2]], np.float32))
+        faces = [
+            (lo, ey, ex),            # z = lo (normal -z)
+            (lo + ez, ex, ey),       # z = hi (normal +z)
+            (lo, ex, ez),            # y = lo (normal -y)
+            (lo + ey, ez, ex),       # y = hi (normal +y)
+            (lo, ez, ey),            # x = lo (normal -x)
+            (lo + ex, ey, ez),       # x = hi (normal +x)
+        ]
+        for o, e1, e2 in faces:
+            if inward:
+                e1, e2 = e2, e1
+            self.rectangle(o, e1, e2, bsdf, emitter, med_in, med_out)
+
+    def sphere(self, center, radius, bsdf, emitter=NO_EMITTER,
+               med_in=NO_MEDIUM, med_out=NO_MEDIUM):
+        self._spheres.append((_v(center), float(radius), bsdf, emitter,
+                              med_in, med_out))
+
+    def mesh(self, vertices, faces, bsdf, emitter=NO_EMITTER,
+             med_in=NO_MEDIUM, med_out=NO_MEDIUM, normals=None):
+        """Indexed triangle mesh (vertices [V,3], faces [F,3] int)."""
+        vertices = _v(vertices)
+        faces = np.asarray(faces, dtype=np.int64)
+        for f in faces:
+            vn = None if normals is None else _v(normals)[f]
+            self.triangle(vertices[f[0]], vertices[f[1]], vertices[f[2]],
+                          bsdf, emitter, med_in, med_out, normals=vn)
+
+    def area_light(self, radiance):
+        """Returns an emitter id to attach to geometry."""
+        return self._add_emitter(radiance)
+
+    def medium_box(self, lo, hi, medium, bsdf=None):
+        """Axis-aligned null-boundary box filled with `medium`."""
+        if bsdf is None:
+            bsdf = self.null_bsdf()
+        self.cube(lo, hi, bsdf, med_in=medium, med_out=NO_MEDIUM)
+
+    # ---------------- camera ----------------
+    def camera(self, origin, target, up=(0, 1, 0), fov=45.0,
+               medium=NO_MEDIUM):
+        self._cam = (look_at(origin, target, up), float(fov))
+        self._cam_medium = medium
+
+    # ---------------- build ----------------
+    def build(self, width=256, height=256) -> Scene:
+        if self._cam is None:
+            raise ValueError("no camera set")
+        T = max(len(self._tris), 1)
+        if not self._tris:  # degenerate placeholder triangle far away
+            self._tris.append((_v([1e8, 1e8, 1e8]), _v([1, 0, 0]),
+                               _v([0, 1, 0]),
+                               np.tile(_v([0, 0, 1]), (3, 1)), 0, NO_EMITTER,
+                               NO_MEDIUM, NO_MEDIUM))
+            T = 1
+        if not self._bsdfs:
+            self.diffuse((0.5, 0.5, 0.5))
+        if not self._media:  # dummy vacuum medium so tables are non-empty
+            self._media.append(dict(sigma_a=(0., 0., 0.), sigma_s=(0., 0., 0.),
+                                    g=0.0, phase=PHASE_ISOTROPIC))
+        if not self._emitters:
+            self._emitters.append((0.0, 0.0, 0.0))
+
+        tp0 = np.stack([t[0] for t in self._tris])
+        te1 = np.stack([t[1] for t in self._tris])
+        te2 = np.stack([t[2] for t in self._tris])
+        tvn = np.stack([t[3] for t in self._tris])
+        tb = np.array([t[4] for t in self._tris], np.int32)
+        tem = np.array([t[5] for t in self._tris], np.int32)
+        tmi = np.array([t[6] for t in self._tris], np.int32)
+        tmo = np.array([t[7] for t in self._tris], np.int32)
+
+        S = len(self._spheres)
+        if S:
+            sc = np.stack([s[0] for s in self._spheres])
+            sr = np.array([s[1] for s in self._spheres], np.float32)
+            sb = np.array([s[2] for s in self._spheres], np.int32)
+            sem = np.array([s[3] for s in self._spheres], np.int32)
+            smi = np.array([s[4] for s in self._spheres], np.int32)
+            smo = np.array([s[5] for s in self._spheres], np.int32)
+        else:
+            sc = np.zeros((0, 3), np.float32)
+            sr = np.zeros((0,), np.float32)
+            sb = sem = smi = smo = np.zeros((0,), np.int32)
+
+        # emitter flux CDF over emissive prims (Scene::weightEmitterFlux)
+        em_rad = np.asarray(self._emitters, np.float32)
+        em_prim, em_area, em_flux = [], [], []
+        tri_area = 0.5 * np.linalg.norm(np.cross(te1, te2), axis=-1)
+        for i in range(len(self._tris)):
+            if tem[i] != NO_EMITTER:
+                em_prim.append(i)
+                em_area.append(tri_area[i])
+                em_flux.append(tri_area[i] * np.pi *
+                               float(luminance(jnp.asarray(em_rad[tem[i]]))))
+        for i in range(S):
+            if sem[i] != NO_EMITTER:
+                em_prim.append(T + i)
+                a = 4.0 * np.pi * sr[i] ** 2
+                em_area.append(a)
+                em_flux.append(a * np.pi *
+                               float(luminance(jnp.asarray(em_rad[sem[i]]))))
+        if em_prim:
+            em_prim = np.array(em_prim, np.int32)
+            em_area = np.array(em_area, np.float32)
+            flux = np.array(em_flux, np.float64)
+            total = flux.sum()
+            cdf = np.cumsum(flux / total).astype(np.float32)
+            cdf[-1] = 1.0
+        else:
+            em_prim = np.zeros((0,), np.int32)
+            em_area = np.zeros((0,), np.float32)
+            cdf = np.zeros((0,), np.float32)
+            total = 0.0
+
+        # world bounds
+        pts = np.concatenate([tp0, tp0 + te1, tp0 + te2], axis=0)
+        if S:
+            pts = np.concatenate([pts, sc - sr[:, None], sc + sr[:, None]])
+        world_lo = pts.min(axis=0)
+        world_hi = pts.max(axis=0)
+
+        # medium AABB: bounds of prims that reference a medium
+        # (reference: volume_utils.h:220 max_AABB_medium)
+        has_med = (tmi != NO_MEDIUM) | (tmo != NO_MEDIUM)
+        if has_med.any():
+            mpts = np.concatenate([tp0[has_med], (tp0 + te1)[has_med],
+                                   (tp0 + te2)[has_med]])
+            med_lo, med_hi = mpts.min(axis=0), mpts.max(axis=0)
+        else:
+            med_lo, med_hi = world_lo, world_hi
+        shas = (smi != NO_MEDIUM) | (smo != NO_MEDIUM)
+        if S and shas.any():
+            med_lo = np.minimum(med_lo, (sc - sr[:, None])[shas].min(axis=0))
+            med_hi = np.maximum(med_hi, (sc + sr[:, None])[shas].max(axis=0))
+
+        cam_mat, fov = self._cam
+
+        f32 = jnp.float32
+        return Scene(
+            tri_p0=jnp.asarray(tp0, f32), tri_e1=jnp.asarray(te1, f32),
+            tri_e2=jnp.asarray(te2, f32), tri_vn=jnp.asarray(tvn, f32),
+            tri_bsdf=jnp.asarray(tb), tri_emitter=jnp.asarray(tem),
+            tri_med_in=jnp.asarray(tmi), tri_med_out=jnp.asarray(tmo),
+            sph_center=jnp.asarray(sc, f32), sph_radius=jnp.asarray(sr, f32),
+            sph_bsdf=jnp.asarray(sb), sph_emitter=jnp.asarray(sem),
+            sph_med_in=jnp.asarray(smi), sph_med_out=jnp.asarray(smo),
+            bsdf_type=jnp.asarray([b["type"] for b in self._bsdfs], jnp.int32),
+            bsdf_albedo=jnp.asarray([b["albedo"] for b in self._bsdfs], f32),
+            bsdf_eta=jnp.asarray([b["eta"] for b in self._bsdfs], f32),
+            bsdf_k=jnp.asarray([b["k"] for b in self._bsdfs], f32),
+            bsdf_eta3=jnp.asarray([b["eta3"] for b in self._bsdfs], f32),
+            bsdf_alpha=jnp.asarray([b["alpha"] for b in self._bsdfs], f32),
+            med_sigma_a=jnp.asarray([m["sigma_a"] for m in self._media], f32),
+            med_sigma_s=jnp.asarray([m["sigma_s"] for m in self._media], f32),
+            med_g=jnp.asarray([m["g"] for m in self._media], f32),
+            med_phase=jnp.asarray([m["phase"] for m in self._media], jnp.int32),
+            em_radiance=jnp.asarray(em_rad, f32),
+            em_prim=jnp.asarray(em_prim),
+            em_prim_area=jnp.asarray(em_area, f32),
+            em_cdf=jnp.asarray(cdf, f32),
+            em_power=jnp.asarray(total, f32),
+            cam_to_world=jnp.asarray(cam_mat, f32),
+            cam_tan_half_fov_x=jnp.asarray(
+                np.tan(np.radians(fov) * 0.5), f32),
+            cam_medium=jnp.asarray(self._cam_medium, jnp.int32),
+            world_lo=jnp.asarray(world_lo, f32),
+            world_hi=jnp.asarray(world_hi, f32),
+            medium_lo=jnp.asarray(med_lo, f32),
+            medium_hi=jnp.asarray(med_hi, f32),
+            width=width, height=height,
+        )

@@ -1,0 +1,137 @@
+"""Scene representation: flat structure-of-arrays tables.
+
+The reference builds a pointer graph of plugin Objects (Scene -> Shapes ->
+BSDF/Emitter/Medium, reference: src/librender/scene.cpp). The TPU design
+flattens everything into index tables so the whole scene is a single pytree
+of device arrays, traced once under jit:
+
+  * primitives:  triangles [T] + analytic spheres [S]; a global prim id is
+                 tri index in [0,T) or T + sphere index.
+  * materials:   one SoA table indexed by prim.bsdf
+  * media:       homogeneous media table indexed per-prim (interior/exterior)
+                 (reference: src/medium/homogeneous.cpp)
+  * emitters:    area lights; per-emissive-prim power CDF for flux-weighted
+                 emitter sampling (reference: Scene::weightEmitterFlux,
+                 scene.cpp:322)
+  * camera:      perspective with ray differentials (reference:
+                 gvpm_gatherpoint.h:238 uses differentials for radius init)
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+
+# BSDF type ids (bsdf_type table values)
+BSDF_DIFFUSE = 0
+BSDF_CONDUCTOR = 1          # smooth mirror with conductor Fresnel
+BSDF_DIELECTRIC = 2         # smooth glass
+BSDF_ROUGH_CONDUCTOR = 3    # Beckmann microfacet
+BSDF_ROUGH_DIELECTRIC = 4
+BSDF_NULL = 5               # passthrough (medium boundary)
+BSDF_PHONG = 6
+BSDF_PLASTIC = 7
+
+# Phase function ids
+PHASE_ISOTROPIC = 0
+PHASE_HG = 1
+
+NO_MEDIUM = -1
+NO_EMITTER = -1
+NO_BSDF = -1
+
+
+@flax.struct.dataclass
+class Scene:
+    # --- triangles: p(u,v) = p0 + u*e1 + v*e2 ---
+    tri_p0: jnp.ndarray        # [T,3]
+    tri_e1: jnp.ndarray        # [T,3]
+    tri_e2: jnp.ndarray        # [T,3]
+    tri_vn: jnp.ndarray        # [T,3,3] per-vertex shading normals
+    tri_bsdf: jnp.ndarray      # [T] int32
+    tri_emitter: jnp.ndarray   # [T] int32 (-1 none)
+    tri_med_in: jnp.ndarray    # [T] int32 interior medium (-1 none)
+    tri_med_out: jnp.ndarray   # [T] int32 exterior medium (-1 none)
+
+    # --- spheres ---
+    sph_center: jnp.ndarray    # [S,3]
+    sph_radius: jnp.ndarray    # [S]
+    sph_bsdf: jnp.ndarray      # [S] int32
+    sph_emitter: jnp.ndarray   # [S] int32
+    sph_med_in: jnp.ndarray    # [S] int32
+    sph_med_out: jnp.ndarray   # [S] int32
+
+    # --- BSDF table ---
+    bsdf_type: jnp.ndarray     # [B] int32
+    bsdf_albedo: jnp.ndarray   # [B,3] diffuse/specular reflectance
+    bsdf_eta: jnp.ndarray      # [B]   IOR ratio (dielectric) or dummy
+    bsdf_k: jnp.ndarray        # [B,3] conductor extinction
+    bsdf_eta3: jnp.ndarray     # [B,3] conductor eta (per channel)
+    bsdf_alpha: jnp.ndarray    # [B]   microfacet roughness
+
+    # --- media table (homogeneous) ---
+    med_sigma_a: jnp.ndarray   # [M,3]
+    med_sigma_s: jnp.ndarray   # [M,3]
+    med_g: jnp.ndarray         # [M] HG g (0 => isotropic)
+    med_phase: jnp.ndarray     # [M] int32 phase type
+
+    # --- emitters (area) ---
+    em_radiance: jnp.ndarray   # [E,3]
+    em_prim: jnp.ndarray       # [Te] int32 global prim id of emissive prim
+    em_prim_area: jnp.ndarray  # [Te]
+    em_cdf: jnp.ndarray        # [Te] inclusive normalized flux CDF
+    em_power: jnp.ndarray      # [] total emitted power (for photon scaling)
+
+    # --- camera (perspective pinhole) ---
+    cam_to_world: jnp.ndarray  # [4,4] camera->world
+    cam_tan_half_fov_x: jnp.ndarray  # [] tan(fov_x/2)
+    cam_medium: jnp.ndarray    # [] int32 medium containing the camera
+
+    # --- bounds ---
+    world_lo: jnp.ndarray      # [3]
+    world_hi: jnp.ndarray      # [3]
+    medium_lo: jnp.ndarray     # [3] AABB of media region (volume_utils.h:220)
+    medium_hi: jnp.ndarray     # [3]
+
+    # --- static metadata (not traced) ---
+    width: int = flax.struct.field(pytree_node=False, default=256)
+    height: int = flax.struct.field(pytree_node=False, default=256)
+
+    @property
+    def n_tris(self):
+        return self.tri_p0.shape[0]
+
+    @property
+    def n_spheres(self):
+        return self.sph_center.shape[0]
+
+    @property
+    def n_prims(self):
+        return self.n_tris + self.n_spheres
+
+    # Per-global-prim attribute lookup (works for traced prim index arrays).
+    def prim_attr(self, tri_tab, sph_tab, prim):
+        is_tri = prim < self.n_tris
+        ti = jnp.clip(prim, 0, self.n_tris - 1)
+        si = jnp.clip(prim - self.n_tris, 0, max(self.n_spheres - 1, 0))
+        if self.n_spheres == 0:
+            return tri_tab[ti]
+        return jnp.where(_bshape(is_tri, tri_tab[ti]), tri_tab[ti], sph_tab[si])
+
+    def prim_bsdf(self, prim):
+        return self.prim_attr(self.tri_bsdf, self.sph_bsdf, prim)
+
+    def prim_emitter(self, prim):
+        return self.prim_attr(self.tri_emitter, self.sph_emitter, prim)
+
+    def prim_med_in(self, prim):
+        return self.prim_attr(self.tri_med_in, self.sph_med_in, prim)
+
+    def prim_med_out(self, prim):
+        return self.prim_attr(self.tri_med_out, self.sph_med_out, prim)
+
+
+def _bshape(cond, like):
+    """Broadcast a boolean against a table row (handles trailing dims)."""
+    extra = like.ndim - cond.ndim
+    return cond.reshape(cond.shape + (1,) * extra) if extra > 0 else cond

@@ -1,0 +1,60 @@
+"""Hash-grid range queries vs brute force (reference analog:
+test_kd.cpp test03_pointKDTree kNN-vs-bruteforce)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gvpm_tpu.ops import hashgrid
+
+
+def test_range_query_matches_bruteforce():
+    key = jax.random.key(0)
+    P, Q = 4096, 128
+    r = 0.07
+    pts = jax.random.uniform(key, (P, 3))
+    valid = jnp.arange(P) < P - 100  # some invalid photons
+    grid = hashgrid.build(pts, valid, jnp.zeros(3), r, hash_size=1 << 12)
+    q = jax.random.uniform(jax.random.key(1), (Q, 3)) * 0.8 + 0.1
+
+    def fold2(carry, idx, ok, scale):
+        cnt, s = carry
+        d2 = jnp.sum((pts[idx] - q) ** 2, axis=-1)
+        inside = ok & (d2 < r * r)
+        return (cnt + inside.astype(jnp.int32) * scale.astype(jnp.int32),
+                s + jnp.where(inside, d2 * scale, 0.0))
+
+    cnt, s = hashgrid.gather(grid, q, fold2,
+                             (jnp.zeros(Q, jnp.int32), jnp.zeros(Q)),
+                             max_per_cell=64)
+
+    # brute force
+    d2 = jnp.sum((pts[None, :, :] - q[:, None, :]) ** 2, axis=-1)
+    inside = (d2 < r * r) & valid[None, :]
+    cnt_bf = jnp.sum(inside, axis=1)
+    s_bf = jnp.sum(jnp.where(inside, d2, 0.0), axis=1)
+
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_bf))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_bf), rtol=1e-5)
+
+
+def test_no_double_count_on_hash_collisions():
+    # tiny hash table forces many collisions; dedupe must still be exact
+    key = jax.random.key(2)
+    P, Q = 512, 64
+    r = 0.15
+    pts = jax.random.uniform(key, (P, 3)) * 2.0
+    valid = jnp.ones(P, bool)
+    grid = hashgrid.build(pts, valid, jnp.zeros(3), r, hash_size=16)
+    q = jax.random.uniform(jax.random.key(3), (Q, 3)) * 1.6 + 0.2
+
+    def fold(carry, idx, ok, scale):
+        d2 = jnp.sum((pts[idx] - q) ** 2, axis=-1)
+        inside = ok & (d2 < r * r)
+        return carry + inside.astype(jnp.int32)
+
+    cnt = hashgrid.gather(grid, q, fold, jnp.zeros(Q, jnp.int32),
+                          max_per_cell=P)
+    d2 = jnp.sum((pts[None] - q[:, None]) ** 2, axis=-1)
+    cnt_bf = jnp.sum(d2 < r * r, axis=1)
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_bf))
