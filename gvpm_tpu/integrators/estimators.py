@@ -170,6 +170,214 @@ def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
 
 
 # --------------------------------------------------------------------------
+# photon beams x camera points (3D kernel, "beam3d")
+# --------------------------------------------------------------------------
+
+def beam_point_gather(scene: Scene, beams_cam, lb, n_emitted, r_beam,
+                      key, n_samples=2, tile=256):
+    """3D-kernel beam estimator (reference BeamRadianceQuery 3D variants,
+    beams.h:18-230): sample camera distances, then for each photon beam
+    integrate the 3D kernel along the beam chord through the kernel
+    sphere with one stochastic sample per (point, beam):
+
+      L_i(x,w) = sum_b flux_b * chord * K3(|x-y(s)|) Tr_b(s)
+                 p(w_b->w) / surv(s)
+
+    (the EGSR-style single-sample chord integration; the reference's
+    'Optimized' variant additionally importance-samples Tr along the
+    chord.)
+    """
+    oc, dc = beams_cam["o"], beams_cam["d"]
+    lc = beams_cam["length"]
+    mi = beams_cam["med"]
+    cvalid = beams_cam["valid"]
+    m = oc.shape[0]
+    _, sigma_s, st_c = med._tables(scene, mi)
+    k3 = 3.0 / (4.0 * jnp.pi * jnp.maximum(r_beam ** 3, 1e-18))
+
+    nb = lb["o"].shape[0]
+    n_tiles = -(-nb // tile)
+    pad = n_tiles * tile - nb
+
+    def padf(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    ob = padf(lb["o"]).reshape(n_tiles, tile, 3)
+    db = padf(lb["d"]).reshape(n_tiles, tile, 3)
+    Lb = padf(lb["length"]).reshape(n_tiles, tile)
+    ab = padf(lb["alpha"]).reshape(n_tiles, tile, 3)
+    vb = padf(lb["valid"].astype(jnp.int32)).reshape(n_tiles, tile) > 0
+    mb = padf(lb["med"]).reshape(n_tiles, tile)
+
+    def one_sample(k):
+        k_t, k_s = jax.random.split(k)
+        u = jax.random.uniform(k_t, (m,))
+        ms = med.sample_distance(scene, mi, oc, dc, lc, u,
+                                 strategy=med.ALWAYS_VALID)
+        x = ms.p
+        sok = cvalid & ms.success
+        w_cam = beams_cam["thr"] * ms.transmittance * ms.sigma_s \
+            / jnp.maximum(ms.pdf_success, 1e-20)[..., None]
+
+        def tile_step(carry, t):
+            acc, ti = carry
+            tob, tdb, tLb, tab, tvb, tmb = t
+            # chord of the beam line inside the kernel sphere around x
+            rel = x[:, None, :] - tob[None]               # [M,T,3]
+            s_mid = dot(rel, tdb[None])
+            perp = rel - tdb[None] * s_mid[..., None]
+            d2 = jnp.sum(perp * perp, axis=-1)
+            half = jnp.sqrt(jnp.maximum(r_beam * r_beam - d2, 0.0))
+            s0 = jnp.maximum(s_mid - half, 0.0)
+            s1 = jnp.minimum(s_mid + half, tLb[None])
+            chord = jnp.maximum(s1 - s0, 0.0)
+            ok = sok[:, None] & tvb[None] & (chord > 0.0) \
+                & (mi[:, None] == tmb[None])
+            # one stratified sample on the chord per (point, beam)
+            us = jax.random.uniform(jax.random.fold_in(k_s, ti),
+                                    s_mid.shape)
+            s = s0 + us * chord
+            y = tob[None] + tdb[None] * s[..., None]
+            dist2 = jnp.sum((x[:, None, :] - y) ** 2, axis=-1)
+            ok = ok & (dist2 < r_beam * r_beam)
+            pf = ph.eval_phase(
+                scene, jnp.broadcast_to(mi[:, None], s.shape),
+                -jnp.broadcast_to(tdb[None], y.shape),
+                -jnp.broadcast_to(dc[:, None], y.shape))
+            tr_b = jnp.exp(-st_c[:, None, :] * s[..., None])
+            surv = survival_prob(
+                scene, jnp.broadcast_to(mi[:, None], s.shape), s)
+            wgt = tab[None] * tr_b \
+                * (chord * k3 * pf / jnp.maximum(surv, 1e-9))[..., None]
+            acc = acc + jnp.sum(jnp.where(ok[..., None], wgt, 0.0),
+                                axis=1)
+            return (acc, ti + 1), None
+
+        (Li, _), _ = lax.scan(tile_step, (jnp.zeros((m, 3)), 0),
+                              (ob, db, Lb, ab, vb, mb))
+        return jnp.where(sok[..., None], w_cam * Li, 0.0)
+
+    keys = jax.random.split(key, n_samples)
+    acc = jnp.zeros((m, 3))
+    for k in keys:
+        acc = acc + one_sample(k)
+    return acc / (n_samples * n_emitted), beams_cam["pixel"]
+
+
+# --------------------------------------------------------------------------
+# photon planes (0D kernel)
+# --------------------------------------------------------------------------
+
+def survival_prob(scene: Scene, mi, t):
+    """P(free-flight sample exceeds t) under the walk's distance sampler:
+    (1-w) + w * mean_c exp(-sigma_c t)  (spectral balance, medium.py)."""
+    _, _, st = med._tables(scene, mi)
+    w = med.sampling_weight(scene, mi)
+    return (1.0 - w) + w * jnp.mean(jnp.exp(-st * t[..., None]), axis=-1)
+
+
+def make_planes(scene: Scene, lb, key):
+    """Photon beams -> photon planes (PhotonPlane::transformBeam,
+    plane_struct.h:73-93): extend each beam by a phase-sampled direction
+    w1 with an exp-sampled length (no visibility).
+
+    Returns a dict of plane arrays (o, w0, l0, w1, l1, alpha, med, valid).
+    """
+    nb = lb["o"].shape[0]
+    k_dir, k_len = jax.random.split(key)
+    mi = lb["med"]
+    w1, _ = ph.sample_phase(scene, mi, -lb["d"],
+                            jax.random.uniform(k_dir, (nb, 2)))
+    _, _, st = med._tables(scene, mi)
+    sigma_g = jnp.maximum(st[..., 1], 1e-20)
+    u = jax.random.uniform(k_len, (nb,))
+    l1 = -jnp.log(jnp.maximum(1.0 - u, 1e-20)) / sigma_g
+    # degenerate when w1 ~ parallel to the beam (transformBeam's while loop)
+    ok = lb["valid"] & (jnp.abs(dot(w1, lb["d"])) < 1.0 - 1e-6) \
+        & (l1 > 1e-6) & jnp.isfinite(l1)
+    return dict(o=lb["o"], w0=lb["d"], l0=lb["length"], w1=w1, l1=l1,
+                alpha=lb["alpha"], med=mi, valid=ok,
+                # survival of the plane-extension sampler: w=1, green chan
+                surv1_sigma=sigma_g)
+
+
+def plane_gather(scene: Scene, beams_cam, planes, n_emitted, tile=256):
+    """0D photon-plane estimator (PhotonPlaneQuery, plane_struct.h:227;
+    getContrib0D plane_struct.h:140-192):
+
+      contrib = Tr_cam(tCam) * sigma_s^2 * flux * p(w1 -> -d)
+                * Tr_w0(t0)/P(len0>t0) * Tr_w1(t1)/P(len1>t1)
+                / |w0 . (w1 x d)|
+
+    Camera ray x parallelogram via the Moller-Trumbore variant
+    (intersectPlane0D, plane_struct.h:104).
+    """
+    oc, dc = beams_cam["o"], beams_cam["d"]
+    lc = beams_cam["length"]
+    mi = beams_cam["med"]
+    cvalid = beams_cam["valid"]
+    m = oc.shape[0]
+    _, sigma_s, st_c = med._tables(scene, mi)
+
+    npl = planes["o"].shape[0]
+    n_tiles = -(-npl // tile)
+    pad = n_tiles * tile - npl
+
+    def padf(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    P = {k: padf(v).reshape((n_tiles, tile) + v.shape[1:])
+         for k, v in planes.items()}
+
+    def tile_step(acc, t):
+        po, pw0, pl0, pw1, pl1, pal, pmed, pval, psig = t
+        e0 = pw0 * pl0[..., None]                      # [T,3]
+        e1 = pw1 * pl1[..., None]
+        Pv = jnp.cross(dc[:, None, :], e1[None])       # [M,T,3]
+        det = dot(e0[None], Pv)
+        ok = jnp.abs(det) > 1e-7
+        inv_det = jnp.where(ok, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        T_ = oc[:, None, :] - po[None]
+        t0 = dot(T_, Pv) * inv_det
+        Q = jnp.cross(T_, e0[None])
+        t1 = dot(dc[:, None, :], Q) * inv_det
+        tcam = dot(e1[None], Q) * inv_det
+        ok = (ok & (t0 >= 0.0) & (t0 <= 1.0) & (t1 >= 0.0) & (t1 <= 1.0)
+              & (tcam > 1e-5) & (tcam < lc[:, None])
+              & cvalid[:, None] & pval[None]
+              & (mi[:, None] == pmed[None]))
+        t0 = t0 * pl0[None]
+        t1 = t1 * pl1[None]
+
+        tr_cam = jnp.exp(-st_c[:, None, :] * tcam[..., None])
+        # phase at the camera scatter point: in = w1, out = toward camera
+        pf = ph.eval_phase(scene, jnp.broadcast_to(mi[:, None], det.shape),
+                           -jnp.broadcast_to(pw1[None], Pv.shape),
+                           -jnp.broadcast_to(dc[:, None], Pv.shape))
+        st_p = st_c[:, None, :]  # same medium as camera segment
+        tr0 = jnp.exp(-st_p * t0[..., None])
+        tr1 = jnp.exp(-st_p * t1[..., None])
+        surv0 = survival_prob(scene,
+                              jnp.broadcast_to(mi[:, None], det.shape), t0)
+        surv1 = jnp.exp(-psig[None] * t1)  # extension sampler, w=1 green
+        jac = jnp.abs(dot(pw0[None],
+                          jnp.cross(pw1[None],
+                                    jnp.broadcast_to(dc[:, None], Pv.shape))))
+        w = (tr_cam * tr0 * tr1
+             * sigma_s[:, None, :] * sigma_s[:, None, :]
+             * (pf / (jnp.maximum(surv0, 1e-9) * jnp.maximum(surv1, 1e-9)
+                      * jnp.maximum(jac, 1e-6)))[..., None])
+        contrib = jnp.where(ok[..., None], pal[None] * w, 0.0)
+        return acc + jnp.sum(contrib, axis=1), None
+
+    acc, _ = lax.scan(tile_step, jnp.zeros((m, 3)),
+                      tuple(P[k] for k in ("o", "w0", "l0", "w1", "l1",
+                                           "alpha", "med", "valid",
+                                           "surv1_sigma")))
+    return beams_cam["thr"] * acc / n_emitted, beams_cam["pixel"]
+
+
+# --------------------------------------------------------------------------
 # photon beams x camera beams (1D kernel)
 # --------------------------------------------------------------------------
 
@@ -215,8 +423,8 @@ def beam_beam_gather(scene: Scene, beams_cam, lb, n_emitted, r_beam,
         denom = 1.0 - b * b
         parallel = jnp.abs(denom) < 1e-8
         den = jnp.where(parallel, 1.0, denom)
-        tc = (-f1 + b * f2) / den
-        tb = (b * (-f1) + f2) / den
+        tc = (f1 - b * f2) / den
+        tb = (b * f1 - f2) / den
         ok = (~parallel & (tc > 1e-5) & (tc < lc[:, None])
               & (tb > 1e-5) & (tb < tLb[None, :])
               & cvalid[:, None] & tvb[None, :]
@@ -233,9 +441,14 @@ def beam_beam_gather(scene: Scene, beams_cam, lb, n_emitted, r_beam,
         tr_c = jnp.exp(-st_c[:, None, :] * tc[..., None])
         # beam-side transmittance uses the beam's own medium = camera's
         tr_b = jnp.exp(-st_c[:, None, :] * tb[..., None])
+        # short-beam compensation: stored beams have sampled lengths, so
+        # a gather at tb exists with prob P(len > tb) — divide it out
+        # (beams_struct.h:160-176, "Unifying Points, Beams and Paths" 7.3)
+        surv = survival_prob(scene,
+                             jnp.broadcast_to(mi[:, None], b.shape), tb)
         k1 = 1.0 / (2.0 * r_beam)
-        w = (pf * k1 / sin_theta)[..., None] * tr_c * tr_b \
-            * sigma_s[:, None, :]
+        w = (pf * k1 / (sin_theta * jnp.maximum(surv, 1e-9)))[..., None] \
+            * tr_c * tr_b * sigma_s[:, None, :]
         contrib = jnp.where(ok[..., None], tab[None] * w, 0.0)
         return acc + jnp.sum(contrib, axis=1), None
 

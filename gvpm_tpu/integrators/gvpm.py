@@ -208,6 +208,89 @@ def volume_gradient_gather(scene: Scene, cb, scb_list, grid, pp, pv,
     return primal * inv, S * inv, W * inv
 
 
+def volume_gradient_bre(scene: Scene, cb, scb_list, grid, pp, pv,
+                        n_emitted, r_vol, border_lane, max_steps=48,
+                        max_per_cell=16):
+    """Gradient BRE: deterministic photon-disc marching with 4-direction
+    shifts (reference: VolumeGradientBREQuery, shift_volume_photon.cpp:658;
+    accel gvpm_accel.h:269-312).
+
+    The camera distance is the photon's foot-point (deterministic), so the
+    camera-side MIS pdf ratio is 1; the photon reconnection supplies the
+    light-side ratio. Grid cell = 2*r_vol, march step = r_vol.
+    """
+    m = cb["o"].shape[0]
+    o, d, length, mi = cb["o"], cb["d"], cb["length"], cb["med"]
+    valid = cb["valid"]
+    _, sigma_s, st = med._tables(scene, mi)
+    step = r_vol
+    k2 = INV_PI / jnp.maximum(r_vol * r_vol, 1e-12)
+
+    svalid, so, sd, sthr, slen = [], [], [], [], []
+    for i in range(4):
+        s = scb_list[i]
+        svalid.append(s["valid"] & (s["med"] == mi))
+        so.append(s["o"])
+        sd.append(s["d"])
+        sthr.append(s["thr"])
+        slen.append(s["length"])
+
+    def body(kstep, carry):
+        primal, S, W = carry
+        t_mid = (kstep + 0.5) * step
+        x = o + d * t_mid
+        live = valid & (t_mid - 0.5 * step < length)
+
+        def fold(c, idx, ok, scale):
+            primal, S, W = c
+            is_med = pv["vtype"][idx] == 2
+            rel = pp[idx] - o
+            t_proj = dot(rel, d)
+            in_step = (t_proj >= kstep * step) \
+                & (t_proj < (kstep + 1) * step) & (t_proj >= 0.0) \
+                & (t_proj <= length)
+            perp = rel - d * t_proj[..., None]
+            d2p = jnp.sum(perp * perp, axis=-1)
+            inside = ok & is_med & in_step & (d2p < r_vol * r_vol) & live
+            pf = phmod.eval_phase(scene, mi, -pv["wi"][idx], -d)
+            tr = jnp.exp(-st * t_proj[..., None])
+            c_base = cb["thr"] * pv["alpha"][idx] * sigma_s * tr \
+                * (pf * k2 * scale)[..., None]
+            c_base = jnp.where(inside[..., None], c_base, 0.0)
+            primal = primal + c_base
+
+            foot = o + d * t_proj[..., None]
+            for i in range(4):
+                ok_i = inside & svalid[i] & (slen[i] >= t_proj)
+                x_s = so[i] + sd[i] * t_proj[..., None]
+                new_p = x_s + (pp[idx] - foot)
+                a_s, pdf_ratio_l, ok_s = shift.reconnect_photon(
+                    scene, pv, idx, new_p, target_is_volume=True)
+                w_new = new_p - pv["parent_p"][idx]
+                w_new = w_new / jnp.maximum(
+                    jnp.linalg.norm(w_new, axis=-1, keepdims=True), 1e-12)
+                pf_s = phmod.eval_phase(scene, mi, -w_new, -sd[i])
+                ok_i = ok_i & ok_s
+                c_shift = sthr[i] * a_s * sigma_s * tr \
+                    * (pf_s * k2 * scale)[..., None]
+                w = shift.mis_weight(pdf_ratio_l, 1.0, ok=ok_i)
+                w = jnp.where(border_lane[i], 1.0, w)
+                S = S.at[i].add(jnp.where(ok_i[..., None],
+                                          w[..., None] * c_shift, 0.0))
+                W = W.at[i].add(jnp.where(inside[..., None],
+                                          w[..., None] * c_base, 0.0))
+            return (primal, S, W)
+
+        return hashgrid.gather(grid, x, fold, carry,
+                               max_per_cell=max_per_cell)
+
+    from jax import lax
+    init = (jnp.zeros((m, 3)), jnp.zeros((4, m, 3)), jnp.zeros((4, m, 3)))
+    primal, S, W = lax.fori_loop(0, max_steps, body, init)
+    inv = 1.0 / n_emitted
+    return primal * inv, S * inv, W * inv
+
+
 def assemble_gradients(primal_px, S_px, W_px, H, W_img):
     """computeGradient (gvpm.cpp:1205-1306) on [H,W,...] buffers."""
     def img(a):
@@ -263,11 +346,12 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         scene, base_s, sgps, grid_s, pp, photons, n_photons, border,
         max_per_cell=cfg.grid_max_photons_per_cell)
 
-    # ---- volume (VPM distance) ----
-    if volume == "distance":
+    # ---- volume (VPM distance | BRE) ----
+    if volume in ("distance", "bre"):
         r_vol = r_vol_base * vol_scale
         med_valid = photons["vtype"] == ptracer.VERT_MEDIUM
-        grid_v = hashgrid.build(pp, med_valid, scene.medium_lo, r_vol,
+        cell = r_vol if volume == "distance" else 2.0 * r_vol
+        grid_v = hashgrid.build(pp, med_valid, scene.medium_lo, cell,
                                 hash_size=cfg.grid_hash_size)
 
         def flat_cb(c):
@@ -282,10 +366,17 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         lane = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
         border_lane = jnp.stack([jnp.tile(border[i], n_steps)
                                  for i in range(4)])
-        p_v, S_v, W_v = volume_gradient_gather(
-            scene, cb, scb_list, grid_v, pp, photons, n_photons, r_vol,
-            k_gather, lane, border_lane, n_samples=cfg.volume_samples,
-            max_per_cell=cfg.grid_max_photons_per_cell)
+        if volume == "distance":
+            p_v, S_v, W_v = volume_gradient_gather(
+                scene, cb, scb_list, grid_v, pp, photons, n_photons,
+                r_vol, k_gather, lane, border_lane,
+                n_samples=cfg.volume_samples,
+                max_per_cell=cfg.grid_max_photons_per_cell)
+        else:
+            p_v, S_v, W_v = volume_gradient_bre(
+                scene, cb, scb_list, grid_v, pp, photons, n_photons,
+                r_vol, border_lane,
+                max_per_cell=cfg.grid_max_photons_per_cell)
         # splat per-segment results back to pixel lanes
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -324,7 +415,8 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         acc_p, acc_gx, acc_gy = acc_p + p, acc_gx + gx, acc_gy + gy
         ratio = sppm.radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
-        vol_scale *= ratio ** (1.0 / dim)
+        if dim > 0:
+            vol_scale *= ratio ** (1.0 / dim)
         if callback is not None:
             callback(it, acc_p / (it + 1))
 

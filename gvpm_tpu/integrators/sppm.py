@@ -29,11 +29,14 @@ from ..render import film
 from . import estimators, gatherpoint, ptracer
 from ..scene.types import Scene
 
-VOLUME_ESTIMATORS = ("none", "distance", "bre", "beam1d")
+VOLUME_ESTIMATORS = ("none", "distance", "bre", "beam1d",
+                     "beam3d", "plane0d")
 
-# kernel dimension per estimator -> APA radius exponent 1/dim
+# kernel dimension per estimator -> APA radius exponent 1/dim; planes are
+# 0D (no blur radius, no schedule)
 # (reference: volume_utils.h:23-53 kernel-dimension helpers)
-KERNEL_DIM = {"distance": 3, "bre": 2, "beam1d": 1}
+KERNEL_DIM = {"distance": 3, "bre": 2, "beam1d": 1, "beam3d": 3,
+              "plane0d": 0}
 
 
 def radius_ratio(it, alpha):
@@ -117,6 +120,15 @@ def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
             Lv, pix = estimators.beam_beam_gather(
                 scene, cb_dict, beams, n_emitted, r_vol_base * vol_scale,
                 tile=cfg.beam_tile)
+        elif volume == "beam3d":
+            Lv, pix = estimators.beam_point_gather(
+                scene, cb_dict, beams, n_emitted, r_vol_base * vol_scale,
+                key_gather, n_samples=cfg.volume_samples,
+                tile=cfg.beam_tile)
+        elif volume == "plane0d":
+            planes = estimators.make_planes(scene, beams, key_gather)
+            Lv, pix = estimators.plane_gather(
+                scene, cb_dict, planes, n_emitted, tile=cfg.beam_tile)
         else:
             raise ValueError(volume)
         out = out.at[pix].add(jnp.where(cb.valid[..., None], Lv, 0.0),
@@ -166,7 +178,8 @@ def render(scene: Scene, cfg: PhotonConfig = PhotonConfig(),
         # APA radius reduction AFTER the pass (gvpm.cpp:875,983,1078)
         ratio = radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
-        vol_scale *= ratio ** (1.0 / dim)
+        if dim > 0:
+            vol_scale *= ratio ** (1.0 / dim)
         if callback is not None:
             callback(it, accum / (it + 1))
     return dict(image=accum / n_passes, passes=n_passes)

@@ -51,14 +51,12 @@ def _light_pdf_sa(scene, prim, p_light, n_light, p_from):
     return jnp.where(cos_l > 1e-6, pdf_a * d2 / jnp.maximum(cos_l, 1e-6), 0.0)
 
 
-def _nee(scene, key, p, med_idx, throughput, f_of_dir):
+def _nee(scene, u3, p, med_idx, throughput, f_of_dir):
     """Shared next-event estimation from a vertex at p.
 
-    f_of_dir(wl) -> (f [N,3], pdf_dir [N]): scatter value toward light dir.
-    Returns radiance contribution [N,3].
+    u3: [N,3] uniforms; f_of_dir(wl) -> (f [N,3], pdf_dir [N]): scatter
+    value toward light dir. Returns radiance contribution [N,3].
     """
-    n = p.shape[0]
-    u3 = jax.random.uniform(key, (n, 3))
     es = sample_position(scene, u3)
     seg = es.p - p
     d2 = jnp.maximum(dot(seg, seg), 1e-12)
@@ -75,10 +73,22 @@ def _nee(scene, key, p, med_idx, throughput, f_of_dir):
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
-    """Estimate incident radiance along rays (o, d). Returns [N,3]."""
+def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
+                   tile_rngs=1):
+    """Estimate incident radiance along rays (o, d). Returns [N,3].
+
+    tile_rngs=k makes the per-lane random sequence repeat every n/k lanes
+    (lane i and lane i + j*n/k consume identical uniforms) — the
+    primary-sample-space replay used by the G-PT shift (gpt.py)."""
     n = o.shape[0]
+    n_rng = n // tile_rngs
     n_steps = cfg.max_depth + cfg.null_bounces
+
+    def U(k, *tail):
+        u = jax.random.uniform(k, (n_rng,) + tail)
+        if tile_rngs == 1:
+            return u
+        return jnp.tile(u, (tile_rngs,) + (1,) * len(tail))
 
     state = dict(
         o=o, d=d, med=jnp.broadcast_to(med_idx, (n,)),
@@ -87,6 +97,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
         active=jnp.ones((n,), bool),
         spec=jnp.ones((n,), bool),       # camera "bounce" counts as delta
         last_pdf=jnp.zeros((n,)),
+        scatter_p=o,                     # last real scatter vertex
         depth=jnp.zeros((n,), jnp.int32),
     )
     step_keys = jax.random.split(key, n_steps)
@@ -102,7 +113,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
         t_far = jnp.where(hit.valid, hit.t, jnp.inf)
 
         # Media can only be sampled when t_far is finite or vacuum lane
-        u_med = jax.random.uniform(k_med, (n, 2))
+        u_med = U(k_med, 2)
         ms = med.sample_distance(scene, cur_med, o, d, t_far,
                                  u_med[:, 0], u_channel=u_med[:, 1])
 
@@ -111,7 +122,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
         thr_med = thr * ms.sigma_s * ms.transmittance \
             / jnp.maximum(ms.pdf_success, 1e-20)[..., None]
 
-        u2 = jax.random.uniform(k_scat, (n, 2))
+        u2 = U(k_scat, 2)
         wo_med, pdf_med = ph.sample_phase(scene, cur_med, -d, u2)
 
         # ---------------- surface event ----------------
@@ -119,9 +130,11 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
         thr_surf = thr * ms.transmittance \
             / jnp.maximum(ms.pdf_failure, 1e-20)[..., None]
 
-        # emitter hit: MIS against the NEE strategy
+        # emitter hit: MIS against the NEE strategy (pdf measured from
+        # the last REAL scatter vertex, not a null crossing)
         Le = eval_radiance(scene, hit.prim, hit.ng, -d)
-        pdf_l_sa = _light_pdf_sa(scene, hit.prim, hit.p, hit.ng, o)
+        pdf_l_sa = _light_pdf_sa(scene, hit.prim, hit.p, hit.ng,
+                                 state["scatter_p"])
         w_hit = jnp.where(state["spec"] | jnp.logical_not(cfg.nee),
                           1.0, _mis(state["last_pdf"], pdf_l_sa))
         L_hit = thr_surf * Le * w_hit[..., None]
@@ -134,7 +147,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
                       scene.bsdf_type.shape[0] - 1)
         is_null = scene.bsdf_type[bi] == BSDF_NULL
 
-        u3 = jax.random.uniform(k_scat, (n, 3))
+        u3 = U(k_scat, 3)
         bs = sample_bsdf(scene, bi, wi_loc, u3)
         wo_surf = to_world(ns, s_ax, t_ax, bs.wo)
 
@@ -154,7 +167,8 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
             p_nee = jnp.where(mevt[..., None], ms.p,
                               _offset_ray(hit.p, hit.ng, -d))
             thr_nee = jnp.where(mevt[..., None], thr_med, thr_surf)
-            L_nee = _nee(scene, k_nee, p_nee, cur_med, thr_nee, scatter_f)
+            L_nee = _nee(scene, U(k_nee, 3), p_nee, cur_med, thr_nee,
+                         scatter_f)
             L_nee = jnp.where((mevt | (sevt & ~is_null))[..., None],
                               L_nee, 0.0)
         else:
@@ -178,10 +192,18 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
                             medium_transition(scene, hit.prim, hit.ng,
                                               wo_surf), cur_med)
 
+        # null crossings are passthrough: they must NOT touch the MIS
+        # state (spec/last_pdf/scatter origin) — treating them as delta
+        # scatters double-counts light behind medium walls (weight-1
+        # emitter hits on top of full NEE)
+        scat = sevt & ~is_null
         new_spec = jnp.where(mevt, False,
-                             jnp.where(sevt, bs.is_delta, state["spec"]))
+                             jnp.where(scat, bs.is_delta, state["spec"]))
         new_pdf = jnp.where(mevt, pdf_med,
-                            jnp.where(sevt, bs.pdf, state["last_pdf"]))
+                            jnp.where(scat, bs.pdf, state["last_pdf"]))
+        new_scatter_p = jnp.where(mevt[..., None], ms.p,
+                                  jnp.where(scat[..., None], hit.p,
+                                            state["scatter_p"]))
 
         # depth bookkeeping: null passthrough does not advance depth
         advances = mevt | (sevt & ~is_null)
@@ -192,7 +214,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
         # Russian roulette
         q = jnp.minimum(jnp.max(new_thr, axis=-1), cfg.rr_clamp)
         do_rr = (new_depth >= cfg.rr_depth) & active
-        u_rr = jax.random.uniform(k_rr, (n,))
+        u_rr = U(k_rr)
         rr_kill = do_rr & (u_rr >= q)
         new_thr = jnp.where((do_rr & ~rr_kill)[..., None],
                             new_thr / jnp.maximum(q, 1e-6)[..., None],
@@ -201,7 +223,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key):
 
         return dict(o=new_o, d=new_d, med=new_med, throughput=new_thr, L=L,
                     active=new_active, spec=new_spec, last_pdf=new_pdf,
-                    depth=new_depth), None
+                    scatter_p=new_scatter_p, depth=new_depth), None
 
     state, _ = lax.scan(body, state, step_keys)
     return state["L"]

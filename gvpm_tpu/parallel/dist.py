@@ -102,5 +102,6 @@ def render(mesh, scene: Scene, cfg: PhotonConfig = PhotonConfig(),
         accum = accum + img
         ratio = sppm.radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
-        vol_scale *= ratio ** (1.0 / dim)
+        if dim > 0:
+            vol_scale *= ratio ** (1.0 / dim)
     return dict(image=accum / n_passes, passes=n_passes)
