@@ -46,17 +46,20 @@ def main():
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / n_iters
 
-    # gather ops per pass: every query visits 27 cells x K slots
+    # candidate visits per pass: every query examines stencil x K
+    # photon slots (8-cell half-offset stencil, ops/hashgrid.py)
     n_pix = scene.width * scene.height
     queries = n_pix * (1 + cfg.volume_samples)   # surface + volume samples
-    gathers = queries * 27 * cfg.grid_max_photons_per_cell
+    gathers = queries * 8 * cfg.grid_max_photons_per_cell
     rate = gathers / dt
 
     print(json.dumps({
         "metric": "photon_gathers_per_s_per_chip",
         "value": round(rate, 1),
-        "unit": "gather-ops/s",
+        "unit": "candidate-visits/s",
         "vs_baseline": round(rate / (10.0 * REFERENCE_CPU_GATHERS_PER_S), 4),
+        "queries_per_s": round(queries / dt, 1),
+        "pass_seconds": round(dt, 4),
     }))
 
 

@@ -48,6 +48,7 @@ class PhotonConfig(PathConfig):
     min_depth: int = 0
     max_cam_depth: int = 8            # camera path budget to 1st diffuse GP
     beam_tile: int = 256              # beam tile size for beam/plane scans
+    vol_segments_per_pixel: int = 2   # compacted medium-segment budget
 
 
 @dataclasses.dataclass(frozen=True)

@@ -44,31 +44,48 @@ INV_PI = 1.0 / jnp.pi
 # --------------------------------------------------------------------------
 
 def surface_gather(scene: Scene, gps, grid, pp, pv, n_emitted,
-                   radius_scale, max_per_cell=32):
+                   radius_scale, max_per_cell=32, q_tile=256, stencil=27):
     """Radiance at gather points from surface photons.
 
     gps: GatherPoints; pp: flattened photon positions [P,3]; pv: dict of
-    flattened LightVertices fields; returns [N,3] (premultiplied by gp.thr).
+    flattened LightVertices fields; returns [N,3] (premultiplied by
+    gp.thr). Uses the dense vectorized range query (one big gather per
+    field instead of 27K dependent small ones — the TPU-critical shape).
     """
-    r = gps.radius * radius_scale
-    s_ax, t_ax = coordinate_system(gps.ns)
-    wo_loc = to_local(gps.ns, s_ax, t_ax, gps.wo)
+    r_all = gps.radius * radius_scale
+    s_ax_all, t_ax_all = coordinate_system(gps.ns)
+    wo_loc_all = to_local(gps.ns, s_ax_all, t_ax_all, gps.wo)
 
-    def fold(acc, idx, ok, scale):
-        d2 = jnp.sum((pp[idx] - gps.p) ** 2, axis=-1)
+    def eval_fn(qi, idx, ok, scale):
+        gp_p = gps.p[qi]
+        r = r_all[qi]
+        ns = gps.ns[qi]
+        s_ax = s_ax_all[qi]
+        t_ax = t_ax_all[qi]
+        wo_loc = wo_loc_all[qi]
+        bi = gps.bsdf[qi]
+        gvalid = gps.valid[qi]
+
+        wi_p = pv["wi"][idx]                       # [Qt,M,3]
+        d2 = jnp.sum((pp[idx] - gp_p[:, None, :]) ** 2, axis=-1)
         is_surf = pv["vtype"][idx] == 1
-        wi_p = pv["wi"][idx]                      # arriving propagation dir
-        # photon must come from the GP's front side
-        front = dot(gps.ns, -wi_p) > 1e-4
-        inside = ok & is_surf & (d2 < r * r) & front & gps.valid
-        wi_loc = to_local(gps.ns, s_ax, t_ax, -wi_p)
-        f, _ = eval_bsdf(scene, gps.bsdf, wo_loc, wi_loc)
+        front = jnp.sum(ns[:, None, :] * (-wi_p), axis=-1) > 1e-4
+        inside = ok & is_surf & (d2 < (r * r)[:, None]) & front \
+            & gvalid[:, None]
+        wi_loc = to_local(ns[:, None, :], s_ax[:, None, :],
+                          t_ax[:, None, :], -wi_p)
+        M = idx.shape[1]
+        f, _ = eval_bsdf(scene, jnp.broadcast_to(bi[:, None], idx.shape),
+                         jnp.broadcast_to(wo_loc[:, None, :], wi_loc.shape),
+                         wi_loc)
         k2 = INV_PI / jnp.maximum(r * r, 1e-12)
-        contrib = pv["alpha"][idx] * f * (k2 * scale)[..., None]
-        return acc + jnp.where(inside[..., None], contrib, 0.0)
+        contrib = pv["alpha"][idx] * f \
+            * (k2[:, None] * scale)[..., None]
+        return jnp.sum(jnp.where(inside[..., None], contrib, 0.0), axis=1)
 
-    acc = hashgrid.gather(grid, gps.p, fold, jnp.zeros_like(gps.thr),
-                          max_per_cell=max_per_cell)
+    acc = hashgrid.gather_dense(grid, gps.p, eval_fn,
+                                max_per_cell=max_per_cell, q_tile=q_tile,
+                                stencil=stencil)
     return gps.thr * acc / n_emitted
 
 
@@ -78,7 +95,7 @@ def surface_gather(scene: Scene, gps, grid, pp, pv, n_emitted,
 
 def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
                            n_emitted, r_vol, key, n_samples=2,
-                           max_per_cell=32):
+                           max_per_cell=32, q_tile=256, stencil=27):
     """VPM: for each camera-beam segment, sample forced-interaction
     distances, 3D-kernel gather of medium photons at each point.
 
@@ -90,6 +107,7 @@ def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
     mi = beams_cam["med"]
     valid = beams_cam["valid"]
     m = o.shape[0]
+    k3 = 3.0 / (4.0 * jnp.pi * jnp.maximum(r_vol ** 3, 1e-18))
 
     def one_sample(k):
         u = jax.random.uniform(k, (m,))
@@ -98,17 +116,27 @@ def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
         x = ms.p
         sok = valid & ms.success
 
-        def fold(acc, idx, ok, scale):
-            d2 = jnp.sum((pp[idx] - x) ** 2, axis=-1)
+        def eval_fn(qi, idx, ok, scale):
+            xq = x[qi]
+            dq = d[qi]
+            miq = mi[qi]
+            sokq = sok[qi]
+            d2 = jnp.sum((pp[idx] - xq[:, None, :]) ** 2, axis=-1)
             is_med = pv["vtype"][idx] == 2
-            inside = ok & is_med & (d2 < r_vol * r_vol) & sok
-            pf = ph.eval_phase(scene, mi, -pv["wi"][idx], -d)
-            k3 = 3.0 / (4.0 * jnp.pi * jnp.maximum(r_vol ** 3, 1e-18))
+            inside = ok & is_med & (d2 < r_vol * r_vol) & sokq[:, None]
+            pf = ph.eval_phase(scene,
+                               jnp.broadcast_to(miq[:, None], idx.shape),
+                               -pv["wi"][idx],
+                               jnp.broadcast_to(-dq[:, None, :],
+                                                (idx.shape[0],
+                                                 idx.shape[1], 3)))
             contrib = pv["alpha"][idx] * (pf * k3 * scale)[..., None]
-            return acc + jnp.where(inside[..., None], contrib, 0.0)
+            return jnp.sum(jnp.where(inside[..., None], contrib, 0.0),
+                           axis=1)
 
-        Li = hashgrid.gather(grid, x, fold, jnp.zeros((m, 3)),
-                             max_per_cell=max_per_cell)
+        Li = hashgrid.gather_dense(grid, x, eval_fn,
+                                   max_per_cell=max_per_cell,
+                                   q_tile=q_tile, stencil=stencil)
         w = ms.transmittance * ms.sigma_s / jnp.maximum(
             ms.pdf_success, 1e-20)[..., None]
         return jnp.where(sok[..., None], beams_cam["thr"] * w * Li, 0.0)
@@ -125,7 +153,7 @@ def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
 # --------------------------------------------------------------------------
 
 def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
-               max_steps=48, max_per_cell=16):
+               max_steps=48, max_per_cell=16, q_tile=256, stencil=27):
     """BRE: deterministic integral of photon discs along camera segments.
 
     Grid must be built with cell_size = 2*r_vol. The segment is marched in
@@ -138,32 +166,46 @@ def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
     valid = beams_cam["valid"]
     m = o.shape[0]
     _, sigma_s, st = med._tables(scene, mi)
-
     step = r_vol
+    k2 = INV_PI / jnp.maximum(r_vol * r_vol, 1e-12)
 
-    def body(k, acc):
-        t_mid = (k + 0.5) * step
+    def body(kstep, acc):
+        t_mid = (kstep + 0.5) * step
         x = o + d * t_mid
         live = valid & (t_mid - 0.5 * step < length)
 
-        def fold(a, idx, ok, scale):
-            is_med = pv["vtype"][idx] == 2
-            rel = pp[idx] - o
-            t_proj = dot(rel, d)
-            in_step = (t_proj >= k * step) & (t_proj < (k + 1) * step) \
-                & (t_proj >= 0.0) & (t_proj <= length)
-            perp = rel - d * t_proj[..., None]
+        def eval_fn(qi, idx, ok, scale):
+            oq = o[qi]
+            dq = d[qi]
+            lq = length[qi]
+            liveq = live[qi]
+            stq = st[qi]
+            ssq = sigma_s[qi]
+            miq = mi[qi]
+            rel = pp[idx] - oq[:, None, :]
+            t_proj = jnp.sum(rel * dq[:, None, :], axis=-1)
+            in_step = (t_proj >= kstep * step) \
+                & (t_proj < (kstep + 1) * step) & (t_proj >= 0.0) \
+                & (t_proj <= lq[:, None])
+            perp = rel - dq[:, None, :] * t_proj[..., None]
             d2 = jnp.sum(perp * perp, axis=-1)
-            inside = ok & is_med & in_step & (d2 < r_vol * r_vol) & live
-            pf = ph.eval_phase(scene, mi, -pv["wi"][idx], -d)
-            tr = jnp.exp(-st * t_proj[..., None])
-            k2 = INV_PI / jnp.maximum(r_vol * r_vol, 1e-12)
-            contrib = pv["alpha"][idx] * sigma_s * tr \
+            is_med = pv["vtype"][idx] == 2
+            inside = ok & is_med & in_step & (d2 < r_vol * r_vol) \
+                & liveq[:, None]
+            pf = ph.eval_phase(scene,
+                               jnp.broadcast_to(miq[:, None], idx.shape),
+                               -pv["wi"][idx],
+                               jnp.broadcast_to(-dq[:, None, :],
+                                                rel.shape))
+            tr = jnp.exp(-stq[:, None, :] * t_proj[..., None])
+            contrib = pv["alpha"][idx] * ssq[:, None, :] * tr \
                 * (pf * k2 * scale)[..., None]
-            return a + jnp.where(inside[..., None], contrib, 0.0)
+            return jnp.sum(jnp.where(inside[..., None], contrib, 0.0),
+                           axis=1)
 
-        return hashgrid.gather(grid, x, fold, acc,
-                               max_per_cell=max_per_cell)
+        return acc + hashgrid.gather_dense(grid, x, eval_fn,
+                                           max_per_cell=max_per_cell,
+                                           q_tile=q_tile, stencil=stencil)
 
     acc = lax.fori_loop(0, max_steps, body, jnp.zeros((m, 3)))
     return beams_cam["thr"] * acc / n_emitted, beams_cam["pixel"]

@@ -77,17 +77,17 @@ def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
 
     out = jnp.zeros((n, 3))
 
-    # ---- surface gather ----
+    # ---- surface gather (8-stencil: cell = 2*max radius) ----
     r_surf = gps.radius * surf_scale
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE)
-    cell_surf = jnp.maximum(jnp.max(jnp.where(gps.valid, r_surf, 0.0)),
-                            1e-5)
+    cell_surf = 2.0 * jnp.maximum(
+        jnp.max(jnp.where(gps.valid, r_surf, 0.0)), 1e-5)
     grid_s = hashgrid.build(pp, surf_valid, scene.world_lo, cell_surf,
                             hash_size=cfg.grid_hash_size)
     gps_scaled = gps.replace(radius=r_surf)
     L_surf = estimators.surface_gather(
         scene, gps_scaled, grid_s, pp, pv_dict, n_emitted, 1.0,
-        max_per_cell=cfg.grid_max_photons_per_cell)
+        max_per_cell=cfg.grid_max_photons_per_cell, stencil=8)
     out = out + L_surf + gps.emission
 
     # ---- volume estimator ----
@@ -99,15 +99,22 @@ def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
             cam_beams.valid.shape).reshape(-1)
         cb_dict = dict(valid=cb.valid, o=cb.o, d=cb.d, length=cb.length,
                        med=cb.med, thr=cb.thr, pixel=lane_grid)
+        # compact: valid medium segments first, fixed per-pixel budget
+        # (most segment slots are empty — skip their gather work)
+        budget = min(cb.valid.shape[0],
+                     n * cfg.vol_segments_per_pixel)
+        order = jnp.argsort(~cb.valid)[:budget]
+        cb_dict = {kk: vv[order] for kk, vv in cb_dict.items()}
         r_vol = r_vol_base * vol_scale
         if volume == "distance":
             med_valid = (photons["vtype"] == ptracer.VERT_MEDIUM)
-            grid_v = hashgrid.build(pp, med_valid, scene.medium_lo, r_vol,
+            grid_v = hashgrid.build(pp, med_valid, scene.medium_lo,
+                                    2.0 * r_vol,
                                     hash_size=cfg.grid_hash_size)
             Lv, pix = estimators.volume_distance_gather(
                 scene, cb_dict, grid_v, pp, pv_dict, n_emitted, r_vol,
                 key_gather, n_samples=cfg.volume_samples,
-                max_per_cell=cfg.grid_max_photons_per_cell)
+                max_per_cell=cfg.grid_max_photons_per_cell, stencil=8)
         elif volume == "bre":
             med_valid = (photons["vtype"] == ptracer.VERT_MEDIUM)
             grid_v = hashgrid.build(pp, med_valid, scene.medium_lo,
@@ -131,8 +138,8 @@ def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
                 scene, cb_dict, planes, n_emitted, tile=cfg.beam_tile)
         else:
             raise ValueError(volume)
-        out = out.at[pix].add(jnp.where(cb.valid[..., None], Lv, 0.0),
-                              mode="drop")
+        out = out.at[pix].add(
+            jnp.where(cb_dict["valid"][..., None], Lv, 0.0), mode="drop")
     del lane
     return out
 

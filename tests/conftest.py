@@ -1,14 +1,14 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Real TPU hardware is single-chip in CI; multi-chip sharding is validated on
-virtual CPU devices (xla_force_host_platform_device_count), matching the
-driver's dryrun_multichip contract.
+The container's sitecustomize registers and INITIALIZES the remote-TPU
+(axon) backend at interpreter start, so JAX_PLATFORMS set in-process (or
+even at launch) is ignored — the backend cache is already pinned. We
+clear the backend cache and re-resolve onto the CPU platform with 8
+virtual devices, matching the driver's dryrun_multichip contract.
 """
 
 import os
 
-# The environment presets JAX_PLATFORMS=axon (remote TPU tunnel); tests
-# must run on the local virtual-device CPU backend — force, not default.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+import jax._src.xla_bridge as _xb  # noqa: E402
+
+if jax._src.xla_bridge.backends_are_initialized():
+    _xb._clear_backends()
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) >= 8
 
 jax.config.update("jax_threefry_partitionable", True)
 # persistent compile cache: this box is compile-bound (2 CPUs)

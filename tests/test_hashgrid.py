@@ -58,3 +58,31 @@ def test_no_double_count_on_hash_collisions():
     d2 = jnp.sum((pts[None] - q[:, None]) ** 2, axis=-1)
     cnt_bf = jnp.sum(d2 < r * r, axis=1)
     np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_bf))
+
+
+def test_dense_matches_fold():
+    key = jax.random.key(7)
+    P, Q = 2048, 300
+    r = 0.09
+    pts = jax.random.uniform(key, (P, 3))
+    valid = jnp.ones(P, bool)
+    grid = hashgrid.build(pts, valid, jnp.zeros(3), r, hash_size=1 << 10)
+    q = jax.random.uniform(jax.random.key(8), (Q, 3))
+
+    def fold(carry, idx, ok, scale):
+        d2 = jnp.sum((pts[idx] - q) ** 2, axis=-1)
+        inside = ok & (d2 < r * r)
+        return carry + jnp.where(inside, scale * (1.0 + d2), 0.0)
+
+    ref = hashgrid.gather(grid, q, fold, jnp.zeros(Q), max_per_cell=8)
+
+    def eval_fn(qi, idx, ok, scale):
+        d2 = jnp.sum((pts[idx] - q[qi][:, None, :]) ** 2, axis=-1)
+        inside = ok & (d2 < r * r)
+        return jnp.sum(jnp.where(inside, scale * (1.0 + d2), 0.0),
+                       axis=1)
+
+    dense = hashgrid.gather_dense(grid, q, eval_fn, max_per_cell=8,
+                                  q_tile=128)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
+                               rtol=1e-5)
