@@ -44,44 +44,48 @@ INV_PI = 1.0 / jnp.pi
 # --------------------------------------------------------------------------
 
 def surface_gather(scene: Scene, gps, grid, pp, pv, n_emitted,
-                   radius_scale, max_per_cell=32, q_tile=256, stencil=27):
+                   radius_scale, max_per_cell=32, q_tile=256, stencil=8):
     """Radiance at gather points from surface photons.
 
-    gps: GatherPoints; pp: flattened photon positions [P,3]; pv: dict of
-    flattened LightVertices fields; returns [N,3] (premultiplied by
-    gp.thr). Uses the dense vectorized range query (one big gather per
-    field instead of 27K dependent small ones — the TPU-critical shape).
+    Planar (structure-of-planes) inner loop: every candidate quantity is
+    a [Qt,M] scalar plane, so nothing pads the 3-lane axis to 128
+    (integrators/planar.py). gps: GatherPoints; pp: [P,3]; pv: dict of
+    flattened LightVertices fields; returns [N,3] premultiplied by
+    gp.thr.
     """
+    from . import planar as pl
     r_all = gps.radius * radius_scale
     s_ax_all, t_ax_all = coordinate_system(gps.ns)
     wo_loc_all = to_local(gps.ns, s_ax_all, t_ax_all, gps.wo)
 
     def eval_fn(qi, idx, ok, scale):
         gp_p = gps.p[qi]
-        r = r_all[qi]
+        r = r_all[qi][:, None]
         ns = gps.ns[qi]
         s_ax = s_ax_all[qi]
         t_ax = t_ax_all[qi]
-        wo_loc = wo_loc_all[qi]
-        bi = gps.bsdf[qi]
-        gvalid = gps.valid[qi]
+        wo_l = wo_loc_all[qi]
+        bi = gps.bsdf[qi][:, None]
+        gvalid = gps.valid[qi][:, None]
 
-        wi_p = pv["wi"][idx]                       # [Qt,M,3]
-        d2 = jnp.sum((pp[idx] - gp_p[:, None, :]) ** 2, axis=-1)
+        ph_p = pl.gather3(pp, idx)
+        rel = pl.sub3(ph_p, pl.expand(gp_p))
+        d2 = pl.dot3(rel, rel)
         is_surf = pv["vtype"][idx] == 1
-        front = jnp.sum(ns[:, None, :] * (-wi_p), axis=-1) > 1e-4
-        inside = ok & is_surf & (d2 < (r * r)[:, None]) & front \
-            & gvalid[:, None]
-        wi_loc = to_local(ns[:, None, :], s_ax[:, None, :],
-                          t_ax[:, None, :], -wi_p)
-        M = idx.shape[1]
-        f, _ = eval_bsdf(scene, jnp.broadcast_to(bi[:, None], idx.shape),
-                         jnp.broadcast_to(wo_loc[:, None, :], wi_loc.shape),
-                         wi_loc)
+        wi_p = pl.gather3(pv["wi"], idx)
+        nwi = pl.neg3(wi_p)
+        front = pl.dot3(pl.expand(ns), nwi) > 1e-4
+        inside = ok & is_surf & (d2 < r * r) & front & gvalid
+        wi_l = pl.to_local_planar(ns, s_ax, t_ax, nwi)
+        wo_lp = (wo_l[:, 0:1], wo_l[:, 1:2], wo_l[:, 2:3])
+        fr, fg, fb = pl.eval_bsdf_gather(scene, bi, wo_lp, wi_l)
         k2 = INV_PI / jnp.maximum(r * r, 1e-12)
-        contrib = pv["alpha"][idx] * f \
-            * (k2[:, None] * scale)[..., None]
-        return jnp.sum(jnp.where(inside[..., None], contrib, 0.0), axis=1)
+        w = jnp.where(inside, k2 * scale, 0.0)
+        ag3 = pv["alpha"][idx]
+        ar, ag, ab = ag3[..., 0], ag3[..., 1], ag3[..., 2]
+        return jnp.stack([jnp.sum(ar * fr * w, axis=1),
+                          jnp.sum(ag * fg * w, axis=1),
+                          jnp.sum(ab * fb * w, axis=1)], axis=-1)
 
     acc = hashgrid.gather_dense(grid, gps.p, eval_fn,
                                 max_per_cell=max_per_cell, q_tile=q_tile,
@@ -95,13 +99,11 @@ def surface_gather(scene: Scene, gps, grid, pp, pv, n_emitted,
 
 def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
                            n_emitted, r_vol, key, n_samples=2,
-                           max_per_cell=32, q_tile=256, stencil=27):
+                           max_per_cell=32, q_tile=256, stencil=8):
     """VPM: for each camera-beam segment, sample forced-interaction
-    distances, 3D-kernel gather of medium photons at each point.
-
-    beams_cam: flattened camera segments dict with fields valid,o,d,length,
-    med,thr,pixel. Returns (contribution [M,3], pixel [M]).
-    """
+    distances, 3D-kernel gather of medium photons at each point. Planar
+    inner loop (integrators/planar.py)."""
+    from . import planar as pl
     o, d = beams_cam["o"], beams_cam["d"]
     length = beams_cam["length"]
     mi = beams_cam["med"]
@@ -119,20 +121,24 @@ def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
         def eval_fn(qi, idx, ok, scale):
             xq = x[qi]
             dq = d[qi]
-            miq = mi[qi]
-            sokq = sok[qi]
-            d2 = jnp.sum((pp[idx] - xq[:, None, :]) ** 2, axis=-1)
+            miq = mi[qi][:, None]
+            sokq = sok[qi][:, None]
+            ph_p = pl.gather3(pp, idx)
+            rel = pl.sub3(ph_p, pl.expand(xq))
+            d2 = pl.dot3(rel, rel)
             is_med = pv["vtype"][idx] == 2
-            inside = ok & is_med & (d2 < r_vol * r_vol) & sokq[:, None]
-            pf = ph.eval_phase(scene,
-                               jnp.broadcast_to(miq[:, None], idx.shape),
-                               -pv["wi"][idx],
-                               jnp.broadcast_to(-dq[:, None, :],
-                                                (idx.shape[0],
-                                                 idx.shape[1], 3)))
-            contrib = pv["alpha"][idx] * (pf * k3 * scale)[..., None]
-            return jnp.sum(jnp.where(inside[..., None], contrib, 0.0),
-                           axis=1)
+            inside = ok & is_med & (d2 < r_vol * r_vol) & sokq
+            wi_p = pl.gather3(pv["wi"], idx)
+            # cos between photon propagation and propagation toward
+            # camera (-d): dot(wi_p, -d)
+            cos_t = -pl.dot3(wi_p, pl.expand(dq))
+            pf = pl.eval_phase_planar(scene, miq, cos_t)
+            w = jnp.where(inside, pf * k3 * scale, 0.0)
+            ag3 = pv["alpha"][idx]
+            ar, ag, ab = ag3[..., 0], ag3[..., 1], ag3[..., 2]
+            return jnp.stack([jnp.sum(ar * w, axis=1),
+                              jnp.sum(ag * w, axis=1),
+                              jnp.sum(ab * w, axis=1)], axis=-1)
 
         Li = hashgrid.gather_dense(grid, x, eval_fn,
                                    max_per_cell=max_per_cell,
