@@ -128,12 +128,15 @@ def main(argv=None):
     img, n_bad = imglib.nan_scrub(img)
     if n_bad:
         log.warning("scrubbed %d non-finite values", n_bad)
+    from .utils import exr as exrlib
     imglib.write_pfm(dest + ".pfm", img)
+    exrlib.write_exr(dest + ".exr", img)
     imglib.write_png(dest + ".png", imglib.tonemap(img))
     for extra in ("primal", "gx", "gy"):
         if extra in out:
-            imglib.write_pfm(f"{dest}_{extra}.pfm",
-                             imglib.nan_scrub(np.asarray(out[extra]))[0])
+            clean = imglib.nan_scrub(np.asarray(out[extra]))[0]
+            imglib.write_pfm(f"{dest}_{extra}.pfm", clean)
+            exrlib.write_exr(f"{dest}_{extra}.exr", clean)
     with open(dest + "_time.csv", "w") as f:
         for i, t in enumerate(t_csv):
             f.write(f"{i},{t:.3f}\n")

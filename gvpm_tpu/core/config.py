@@ -26,6 +26,10 @@ class VolPathConfig(PathConfig):
     """Primal volumetric path tracer (reference: integrators/volpath)."""
     spp: int = 16
     nee: bool = True              # next-event estimation + MIS
+    sampler: str = "independent"  # pixel sampler: independent | stratified
+                                  # | ld | sobol | halton | hammersley
+    rfilter: str = "box"          # reconstruction filter: box | tent |
+                                  # gaussian | mitchell | catmullrom | lanczos
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,6 +14,7 @@ from .math import safe_sqrt
 INV_PI = 1.0 / jnp.pi
 INV_TWOPI = 1.0 / (2.0 * jnp.pi)
 INV_FOURPI = 1.0 / (4.0 * jnp.pi)
+FOURPI = 4.0 * jnp.pi
 
 
 def square_to_uniform_sphere(u):
@@ -59,6 +60,25 @@ def square_to_uniform_disk_concentric(u):
     r = jnp.where(both_zero, 0.0, r)
     phi = jnp.where(both_zero, 0.0, phi)
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+
+
+def square_to_uniform_disk(u):
+    """Uniform unit disk (polar mapping); returns (x, y)."""
+    r = safe_sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi)], axis=-1)
+
+
+def square_to_uniform_cone(u, cos_cutoff):
+    """Uniform direction in the cone around +z with the given cutoff
+    cosine; returns (d, pdf_sa) (warp.cpp squareToUniformCone)."""
+    cos_t = 1.0 - u[..., 0] * (1.0 - cos_cutoff)
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
+    phi = 2.0 * jnp.pi * u[..., 1]
+    d = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                  axis=-1)
+    pdf = INV_TWOPI / jnp.maximum(1.0 - cos_cutoff, 1e-12)
+    return d, jnp.broadcast_to(pdf, cos_t.shape)
 
 
 def square_to_uniform_triangle(u):

@@ -36,7 +36,7 @@ from ..ops import hashgrid, poisson
 from ..render import medium as med
 from ..render import phase as phmod
 from ..render.bsdf import eval_bsdf
-from . import gatherpoint, ptracer, shift, sppm
+from . import estimators, gatherpoint, ptracer, shift, sppm
 from ..scene.types import Scene
 
 INV_PI = 1.0 / jnp.pi
@@ -335,6 +335,12 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
     photons, beams = sppm.shoot_photons(scene, cfg, n_photons, k_light)
     pp = photons["p"]
 
+    def flat_cb(c):
+        cd = jax.tree_util.tree_map(
+            lambda a: a.reshape((-1,) + a.shape[2:]), c)
+        return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
+                    med=cd.med, thr=cd.thr)
+
     # ---- surface ----
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
@@ -353,12 +359,6 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         cell = r_vol if volume == "distance" else 2.0 * r_vol
         grid_v = hashgrid.build(pp, med_valid, scene.medium_lo, cell,
                                 hash_size=cfg.grid_hash_size)
-
-        def flat_cb(c):
-            cd = jax.tree_util.tree_map(
-                lambda a: a.reshape((-1,) + a.shape[2:]), c)
-            return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
-                        med=cd.med, thr=cd.thr)
 
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
@@ -384,6 +384,67 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         p_s = p_s + to_px(p_v)
         S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
         W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
+
+    # ---- volume (photon beams 1D/3D, photon planes 0D) ----
+    # Gradient strategy: IDENTITY shift on the light path (the stored
+    # beams/planes are reused verbatim) paired with the retraced offset
+    # camera segments. This is the reference's nullShift mode
+    # (GPMConfig nullShift, gvpm_struct.h; shiftNull3D
+    # shift_volume_beams.cpp:748): deterministic base<->offset mapping,
+    # Jacobian 1, symmetric weight 1/2 — unbiased, with reconnection /
+    # ME beam shifts as the variance-reduction upgrade path.
+    elif volume in ("beam1d", "beam3d", "plane0d"):
+        r_b = r_vol_base * vol_scale
+        cb = flat_cb(cam_beams)
+        scb_list = [flat_cb(c) for c in scbs]
+        n_steps = cam_beams.valid.shape[0]
+        lane_full = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
+        # compact valid medium segments first (fixed per-pixel budget)
+        budget = min(cb["valid"].shape[0], n * cfg.vol_segments_per_pixel)
+        order = jnp.argsort(~cb["valid"])[:budget]
+        cb = {kk: vv[order] for kk, vv in cb.items()}
+        scb_list = [{kk: vv[order] for kk, vv in s.items()}
+                    for s in scb_list]
+        lane = lane_full[order]
+        cb["pixel"] = lane
+        border_lane = jnp.stack([border[i][lane] for i in range(4)])
+
+        if volume == "plane0d":
+            planes = estimators.make_planes(scene, beams, k_gather)
+
+            def eval_seg(cbd):
+                return estimators.plane_gather(
+                    scene, cbd, planes, n_photons,
+                    tile=cfg.beam_tile)[0]
+        elif volume == "beam1d":
+            def eval_seg(cbd):
+                return estimators.beam_beam_gather(
+                    scene, cbd, beams, n_photons, r_b,
+                    tile=cfg.beam_tile)[0]
+        else:  # beam3d
+            def eval_seg(cbd):
+                return estimators.beam_point_gather(
+                    scene, cbd, beams, n_photons, r_b, k_gather,
+                    n_samples=cfg.volume_samples, tile=cfg.beam_tile)[0]
+
+        L_base = jnp.where(cb["valid"][..., None], eval_seg(cb), 0.0)
+
+        def to_px(a):
+            out = jnp.zeros((n, 3))
+            return out.at[lane].add(a, mode="drop")
+
+        p_s = p_s + to_px(L_base)
+        for i in range(4):
+            s_i = dict(scb_list[i])
+            s_i["pixel"] = lane
+            shift_ok = s_i["valid"] & (s_i["med"] == cb["med"]) \
+                & cb["valid"]
+            L_i = jnp.where(shift_ok[..., None], eval_seg(s_i), 0.0)
+            w = jnp.where(border_lane[i], 1.0,
+                          jnp.where(shift_ok, 0.5, 1.0))
+            S_s = S_s.at[i].add(to_px(jnp.where(
+                shift_ok[..., None], w[..., None] * L_i, 0.0)))
+            W_s = W_s.at[i].add(to_px(w[..., None] * L_base))
 
     # ---- directly-seen emission (directTracing, gvpm.cpp:1231-1240) ----
     p_s = p_s + base.emission

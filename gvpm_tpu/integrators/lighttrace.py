@@ -67,6 +67,24 @@ def render_pass(scene: Scene, cfg: PhotonConfig, n_paths, seed, it):
         es.valid & (cos_e > 0))
     img = film.splat(img, px, py, val / n_paths, ok)
 
+    # --- deterministic delta-light -> eye connections (point/spot) ---
+    n_de = scene.de_type.shape[0]
+    if n_de > 0:
+        from ..render.emitter import _spot_falloff_dir
+        from ..scene.types import DE_DIRECTIONAL, DE_SPOT
+        eye2 = scene.cam_to_world[:3, 3]
+        w_eye = eye2 - scene.de_p
+        w_eye = w_eye / jnp.maximum(
+            jnp.linalg.norm(w_eye, axis=-1, keepdims=True), 1e-12)
+        k_all = jnp.arange(n_de)
+        fall = jnp.where(scene.de_type == DE_SPOT,
+                         _spot_falloff_dir(scene, k_all, w_eye), 1.0)
+        alpha_de = scene.de_intensity * fall[..., None]
+        px, py, val, ok = _connect(
+            scene, scene.de_p, alpha_de, scene.de_medium,
+            scene.de_type != DE_DIRECTIONAL)
+        img = film.splat(img, px, py, val, ok)
+
     # --- scatter-vertex connections ---
     eye_b = jnp.broadcast_to(eye, pv.p.shape)
     wcam = eye_b - pv.p

@@ -27,7 +27,7 @@ from ..core.math import coordinate_system, dot, normalize, to_local, to_world
 from ..render import medium as med
 from ..render import phase as ph
 from ..render.bsdf import is_diffuse_like, sample_bsdf
-from ..render.emitter import sample_direction, sample_position
+from ..render.emitter import sample_photon
 from ..render.visibility import medium_transition
 from ..scene.types import BSDF_NULL, Scene
 
@@ -101,28 +101,23 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
     """
     n = n_paths
     n_steps = cfg.max_depth + cfg.null_bounces
-    k_pos, k_dir, k_walk = jax.random.split(key, 3)
+    k_emit, k_walk = jax.random.split(key, 2)
 
-    # --- emission: flux-weighted position + cosine direction -------------
-    es = sample_position(scene, jax.random.uniform(k_pos, (n, 3)))
-    d0, pdf_dir = sample_direction(scene, es,
-                                   jax.random.uniform(k_dir, (n, 2)))
-    cos_e = jnp.maximum(dot(es.n, d0), 0.0)
-    alpha0 = es.radiance * (cos_e / jnp.maximum(
-        es.pdf_area * pdf_dir, 1e-20))[..., None]
-    alpha0 = jnp.where(es.valid[..., None], alpha0, 0.0)
-    med0 = medium_transition(scene, es.prim, es.n, d0)
+    # --- emission across all emitter groups (area | delta | env) ---------
+    em = sample_photon(scene, k_emit, n)
+    alpha0 = jnp.where(em["valid"][..., None], em["alpha"], 0.0)
 
     state = dict(
-        o=es.p + es.n * RAY_EPS, d=d0, med=med0, alpha=alpha0,
-        active=es.valid & (cos_e > 0),
+        o=em["p"], d=em["d"], med=em["med"], alpha=alpha0,
+        active=em["valid"],
         depth=jnp.zeros((n,), jnp.int32),
-        # parent caches (start at the emitter; cosine emission lobe)
-        pp_p=es.p, pp_type=jnp.zeros((n,), jnp.int32),
-        pp_wi=es.n, pp_ns=es.n,
-        pp_bsdf=jnp.full((n,), -1, jnp.int32), pp_med=med0,
-        pp_scatter=jnp.broadcast_to(cos_e[..., None], (n, 3)),
-        pp_pdf_dir=pdf_dir, pp_reconn=jnp.ones((n,), bool),
+        # parent caches (start at the emitter; cosine emission lobe for
+        # area lights; delta/env parents are non-reconnectable)
+        pp_p=em["p"], pp_type=jnp.zeros((n,), jnp.int32),
+        pp_wi=em["ns"], pp_ns=em["ns"],
+        pp_bsdf=jnp.full((n,), -1, jnp.int32), pp_med=em["med"],
+        pp_scatter=em["scatter"],
+        pp_pdf_dir=em["pdf_dir"], pp_reconn=em["reconnectable"],
         seg_tr=jnp.ones((n, 3)), seg_pdffail=jnp.ones((n,)),
     )
     step_keys = jax.random.split(k_walk, n_steps)

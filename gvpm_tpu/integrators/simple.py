@@ -19,7 +19,7 @@ from ..core.config import VolPathConfig
 from ..core.math import coordinate_system, dot, to_local, to_world
 from ..core.warp import square_to_cosine_hemisphere
 from ..render.bsdf import eval_bsdf
-from ..render.emitter import eval_radiance, sample_position
+from ..render.emitter import env_le, eval_radiance, sample_direct
 from ..render.visibility import segment_transmittance
 from ..scene.camera import generate_rays
 from ..scene.intersect import intersect, occluded
@@ -52,20 +52,16 @@ def _direct_pass(scene: Scene, seed, it, spp):
     bi = jnp.clip(scene.prim_bsdf(hit.prim), 0,
                   scene.bsdf_type.shape[0] - 1)
     u3 = jax.random.uniform(k_nee, (n, 3))
-    es = sample_position(scene, u3)
-    seg = es.p - hit.p
-    d2 = jnp.maximum(dot(seg, seg), 1e-12)
-    wl = seg / jnp.sqrt(d2)[..., None]
-    cos_l = dot(es.n, -wl)
-    f, _ = eval_bsdf(scene, bi, wi_loc, to_local(ns, s_ax, t_ax, wl))
-    tr = segment_transmittance(scene, hit.p + ns * 1e-4, es.p,
+    ds = sample_direct(scene, hit.p, u3)
+    f, _ = eval_bsdf(scene, bi, wi_loc, to_local(ns, s_ax, t_ax, ds.wl))
+    tr = segment_transmittance(scene, hit.p + ns * 1e-4, ds.p_light,
                                jnp.broadcast_to(scene.cam_medium, (n,)))
-    cos_s = jnp.abs(dot(ns, wl))
-    ok = hit.valid & es.valid & (cos_l > 1e-6)
-    contrib = f * es.radiance * tr * (
-        cos_s * cos_l / (d2 * jnp.maximum(es.pdf_area, 1e-20)))[..., None]
+    cos_s = jnp.abs(dot(ns, ds.wl))
+    ok = hit.valid & ds.valid
+    contrib = f * ds.li_over_pdf * tr * cos_s[..., None]
     L = L + jnp.where(ok[..., None], contrib, 0.0)
-    return jnp.where(hit.valid[..., None], L, 0.0).reshape(H, W, 3)
+    L_esc = env_le(scene, d)
+    return jnp.where(hit.valid[..., None], L, L_esc).reshape(H, W, 3)
 
 
 def render_direct(scene: Scene, spp=16, seed=0):

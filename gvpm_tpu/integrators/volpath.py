@@ -15,13 +15,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core import rng
+from ..core import qmc, rng
 from ..core.config import VolPathConfig
 from ..core.math import coordinate_system, dot, normalize, to_local, to_world
+from ..render import film
 from ..render import medium as med
 from ..render import phase as ph
 from ..render.bsdf import eval_bsdf, sample_bsdf
-from ..render.emitter import eval_radiance, pdf_direct_area, sample_position
+from ..render.emitter import (env_le, eval_radiance, pdf_direct_area,
+                              pdf_env_sa, sample_direct)
 from ..render.visibility import medium_transition, segment_transmittance
 from ..scene.camera import generate_rays
 from ..scene.intersect import intersect
@@ -52,25 +54,19 @@ def _light_pdf_sa(scene, prim, p_light, n_light, p_from):
 
 
 def _nee(scene, u3, p, med_idx, throughput, f_of_dir):
-    """Shared next-event estimation from a vertex at p.
+    """Shared next-event estimation from a vertex at p over ALL emitter
+    groups (area | point/spot/directional | constant env).
 
     u3: [N,3] uniforms; f_of_dir(wl) -> (f [N,3], pdf_dir [N]): scatter
     value toward light dir. Returns radiance contribution [N,3].
     """
-    es = sample_position(scene, u3)
-    seg = es.p - p
-    d2 = jnp.maximum(dot(seg, seg), 1e-12)
-    dist = jnp.sqrt(d2)
-    wl = seg / dist[..., None]
-    cos_l = dot(es.n, -wl)
-    ok = es.valid & (cos_l > 1e-6) & (es.pdf_area > 0)
-    pdf_sa = es.pdf_area * d2 / jnp.maximum(cos_l, 1e-6)
-    f, pdf_dir = f_of_dir(wl)
-    tr = segment_transmittance(scene, p, es.p, med_idx)
-    w = _mis(pdf_sa, pdf_dir)
-    contrib = (throughput * f * tr * es.radiance
-               * (w / jnp.maximum(pdf_sa, 1e-20))[..., None])
-    return jnp.where(ok[..., None], contrib, 0.0)
+    ds = sample_direct(scene, p, u3)
+    f, pdf_dir = f_of_dir(ds.wl)
+    tr = segment_transmittance(scene, p, ds.p_light, med_idx)
+    # delta strategies (pdf_sa == 0) have no competing BSDF strategy
+    w = jnp.where(ds.pdf_sa > 0, _mis(ds.pdf_sa, pdf_dir), 1.0)
+    contrib = throughput * f * tr * ds.li_over_pdf * w[..., None]
+    return jnp.where(ds.valid[..., None], contrib, 0.0)
 
 
 def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
@@ -174,9 +170,17 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         else:
             L_nee = jnp.zeros((n, 3))
 
+        # escaped rays: constant environment emitter, MIS vs the NEE env
+        # strategy (uniform-sphere direction)
+        esc = active & ~ms.success & ~hit.valid
+        w_env = jnp.where(state["spec"] | jnp.logical_not(cfg.nee), 1.0,
+                          _mis(state["last_pdf"], pdf_env_sa(scene)))
+        L_env = thr_surf * env_le(scene, d) * w_env[..., None]
+
         # ---------------- merge events ----------------
         L = state["L"] + L_nee \
-            + jnp.where(sevt[..., None], L_hit, 0.0)
+            + jnp.where(sevt[..., None], L_hit, 0.0) \
+            + jnp.where(esc[..., None], L_env, 0.0)
 
         new_d = jnp.where(mevt[..., None], wo_med,
                           jnp.where(sevt[..., None], wo_surf, d))
@@ -241,23 +245,41 @@ def render(scene: Scene, cfg: VolPathConfig = VolPathConfig(), seed=0,
     n_passes = -(-cfg.spp // spp_per_pass)
 
     @functools.partial(jax.jit, static_argnames=("nspp",))
-    def one_pass(it, nspp):
+    def pixel_u(it, nspp):
+        # kept OUT of the main program: the QMC bit-arithmetic fused into
+        # the full wavefront blows up XLA:CPU LLVM compile time
         key = rng.pass_key(seed, it, rng.STREAM_CAMERA)
-        k_pix, k_path = jax.random.split(key)
+        k_pix, _ = jax.random.split(key, 2)
+        pix = jnp.tile(jnp.arange(H * W), nspp)
+        si = jnp.repeat(it * nspp + jnp.arange(nspp), H * W)
+        return qmc.pixel_samples(cfg.sampler, k_pix, pix, si, cfg.spp)
+
+    @functools.partial(jax.jit, static_argnames=("nspp",))
+    def one_pass(it, nspp, u):
+        key = rng.pass_key(seed, it, rng.STREAM_CAMERA)
+        _, k_lens, k_path = jax.random.split(key, 3)
         py, px = jnp.mgrid[0:H, 0:W]
         px = jnp.tile(px.reshape(-1), nspp).astype(jnp.float32)
         py = jnp.tile(py.reshape(-1), nspp).astype(jnp.float32)
-        u = jax.random.uniform(k_pix, (nspp * H * W, 2))
-        o, d, _ = generate_rays(scene, px, py, u)
+        u_lens = jax.random.uniform(k_lens, u.shape) \
+            if scene.cam_aperture > 0 else None
+        o, d, _ = generate_rays(scene, px, py, u, u_lens=u_lens)
         L = trace_radiance(scene, cfg, o, d, scene.cam_medium, k_path)
-        return jnp.mean(L.reshape(nspp, H, W, 3), axis=0)
+        if cfg.rfilter == "box":
+            return (jnp.mean(L.reshape(nspp, H, W, 3), axis=0) * nspp,
+                    jnp.full((H, W), float(nspp)))
+        return film.splat_filtered(film.new_film(H, W), jnp.zeros((H, W)),
+                                   px + u[..., 0], py + u[..., 1], L,
+                                   rfilter=cfg.rfilter)
 
     img = jnp.zeros((H, W, 3))
+    wsum = jnp.zeros((H, W))
     done = 0
     it = 0
     while done < cfg.spp:
         nspp = min(spp_per_pass, cfg.spp - done)
-        img = img + one_pass(it, nspp) * nspp
+        di, dw = one_pass(it, nspp, pixel_u(it, nspp))
+        img, wsum = img + di, wsum + dw
         done += nspp
         it += 1
-    return img / cfg.spp
+    return film.develop_filtered(img, wsum)

@@ -1,20 +1,24 @@
-"""Area emitters: flux-weighted sampling + direct illumination (NEE).
+"""Emitters: flux-weighted sampling + direct illumination (NEE).
 
-reference: src/emitters/area.cpp and Scene::weightEmitterFlux
-(src/librender/scene.cpp:322) — prims are picked proportionally to emitted
-flux via the prebuilt `em_cdf`; positions uniformly over the prim; emission
-directions cosine-distributed. Area lights are the only emitter type GVPM
-supports (gvpm.cpp:148-158).
+reference: src/emitters/{area,point,spot,directional,constant}.cpp and
+Scene::weightEmitterFlux (src/librender/scene.cpp:322) — emitters are
+picked proportionally to emitted flux; area positions uniformly over the
+prim with cosine-distributed emission. The TPU design groups emitters as
+(area | delta | env) with a static group-probability table
+(scene.light_group_p) so every sampling routine is one branch-free
+3-way select. Area lights remain the only kind the gradient shifts
+reconnect to (gvpm.cpp:148-158 — same restriction as the reference).
 """
 
 from __future__ import annotations
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 
 from ..core import warp
 from ..core.math import coordinate_system, cross, dot, normalize, to_world
-from ..scene.types import Scene
+from ..scene.types import DE_DIRECTIONAL, DE_POINT, DE_SPOT, Scene
 
 
 @flax.struct.dataclass
@@ -85,7 +89,8 @@ def eval_radiance(scene: Scene, prim, n, wo):
 
 
 def pdf_direct_area(scene: Scene, prim):
-    """Area pdf that `sample_position` lands on this specific prim point."""
+    """Area pdf that NEE (`sample_direct`) lands on this specific prim
+    point — includes the area-group pick probability."""
     n_em = scene.em_prim.shape[0]
     if n_em == 0:
         return jnp.zeros(prim.shape)
@@ -95,4 +100,264 @@ def pdf_direct_area(scene: Scene, prim):
     found = jnp.any(match, axis=-1)
     pmf = scene.em_cdf[k] - jnp.where(k > 0, scene.em_cdf[k - 1], 0.0)
     pdf = pmf / jnp.maximum(scene.em_prim_area[k], 1e-20)
-    return jnp.where(found, pdf, 0.0)
+    return jnp.where(found, pdf * scene.light_group_p[0], 0.0)
+
+
+# --------------------------------------------------------------------------
+# environment (constant) emitter
+
+
+def world_center_radius(scene: Scene):
+    c = 0.5 * (scene.world_lo + scene.world_hi)
+    r = jnp.linalg.norm(scene.world_hi - c) + 1e-6
+    return c, r
+
+
+def env_le(scene: Scene, d):
+    """Environment radiance for escaped rays in direction d [N,3]."""
+    return jnp.broadcast_to(scene.env_radiance, d.shape[:-1] + (3,))
+
+
+def pdf_env_sa(scene: Scene):
+    """Solid-angle NEE pdf of the environment strategy (uniform sphere),
+    including the env-group pick probability."""
+    return scene.light_group_p[2] * warp.INV_FOURPI
+
+
+# --------------------------------------------------------------------------
+# unified NEE sampling (area | delta | env)
+
+
+@flax.struct.dataclass
+class DirectSample:
+    """One next-event sample toward a light.
+
+    contribution at the shading point = throughput * f(wl) * Tr * li_over_pdf
+    * mis_weight, where mis_weight uses pdf_sa (0 for delta strategies =>
+    weight 1, no competing BSDF strategy)."""
+    wl: jnp.ndarray           # [N,3] unit direction to the light
+    dist: jnp.ndarray         # [N] distance to the light point (shadow ray)
+    p_light: jnp.ndarray      # [N,3] point on the light (shadow-ray target)
+    li_over_pdf: jnp.ndarray  # [N,3] radiance-ish / pdf (all factors folded)
+    pdf_sa: jnp.ndarray       # [N] solid-angle pdf (0 => delta strategy)
+    valid: jnp.ndarray        # [N] bool
+
+
+def _spot_falloff(scene: Scene, k, wl):
+    """Spot falloff curve in emission direction -wl (spot.cpp)."""
+    cos_t = dot(scene.de_dir[k], -wl)
+    cc = scene.de_cos_cutoff[k]
+    cf = scene.de_cos_falloff[k]
+    lin = (cos_t - cc) / jnp.maximum(cf - cc, 1e-6)
+    return jnp.where(cos_t <= cc, 0.0,
+                     jnp.where(cos_t >= cf, 1.0, lin))
+
+
+def _sample_direct_delta(scene: Scene, p_from, u):
+    """NEE sample of the delta-light group (point/spot/directional)."""
+    n_de = scene.de_type.shape[0]
+    k = jnp.clip(jnp.searchsorted(scene.de_cdf, u, side="right"),
+                 0, n_de - 1)
+    pmf = scene.de_cdf[k] - jnp.where(k > 0, scene.de_cdf[k - 1], 0.0)
+    _, wr = world_center_radius(scene)
+
+    is_dir = scene.de_type[k] == DE_DIRECTIONAL
+    seg = scene.de_p[k] - p_from
+    d2 = jnp.maximum(dot(seg, seg), 1e-12)
+    dist_pt = jnp.sqrt(d2)
+    wl_pt = seg / dist_pt[..., None]
+    wl = jnp.where(is_dir[..., None], -scene.de_dir[k], wl_pt)
+    dist = jnp.where(is_dir, 2.0 * wr, dist_pt)
+    p_light = jnp.where(is_dir[..., None], p_from + wl * dist[..., None],
+                        scene.de_p[k])
+
+    # point/spot: I * falloff / d^2; directional: irradiance E
+    fall = jnp.where(scene.de_type[k] == DE_SPOT,
+                     _spot_falloff(scene, k, wl), 1.0)
+    li = scene.de_intensity[k] * fall[..., None]
+    li = jnp.where(is_dir[..., None], li, li / d2[..., None])
+    pick_p = scene.light_group_p[1] * pmf
+    li_over_pdf = li / jnp.maximum(pick_p, 1e-20)[..., None]
+    return DirectSample(wl=wl, dist=dist, p_light=p_light,
+                        li_over_pdf=li_over_pdf,
+                        pdf_sa=jnp.zeros_like(dist),
+                        valid=(pmf > 0) & (n_de > 0))
+
+
+def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
+    """Unified NEE sample from point p_from; u3: [N,3] uniforms.
+
+    Picks the emitter group by power (light_group_p), then an emitter
+    within the group. The returned li_over_pdf folds every pdf factor
+    EXCEPT the scatter function and transmittance at the shading point.
+    """
+    gp = scene.light_group_p
+    n = p_from.shape[0]
+    grp = jnp.where(u3[..., 0] < gp[0], 0,
+                    jnp.where(u3[..., 0] < gp[0] + gp[1], 1, 2))
+    # re-stretch the pick uniform within its group
+    u_area = jnp.clip(u3[..., 0] / jnp.maximum(gp[0], 1e-12), 0.0, 1.0)
+    u_delta = jnp.clip((u3[..., 0] - gp[0]) / jnp.maximum(gp[1], 1e-12),
+                       0.0, 1.0)
+
+    # --- area branch (cosine-emitting prim sample) ---
+    es = sample_position(
+        scene, jnp.stack([u_area, u3[..., 1], u3[..., 2]], axis=-1))
+    seg = es.p - p_from
+    d2 = jnp.maximum(dot(seg, seg), 1e-12)
+    dist_a = jnp.sqrt(d2)
+    wl_a = seg / dist_a[..., None]
+    cos_l = dot(es.n, -wl_a)
+    pdf_a_sa = es.pdf_area * gp[0] * d2 / jnp.maximum(cos_l, 1e-6)
+    ok_a = es.valid & (cos_l > 1e-6) & (es.pdf_area > 0) & (gp[0] > 0)
+    li_over_pdf_a = es.radiance / jnp.maximum(pdf_a_sa, 1e-20)[..., None]
+
+    # --- delta branch ---
+    if scene.de_type.shape[0] > 0:
+        ds_d = _sample_direct_delta(scene, p_from, u_delta)
+    else:
+        z = jnp.zeros((n,))
+        ds_d = DirectSample(wl=jnp.zeros((n, 3)), dist=z,
+                            p_light=jnp.zeros((n, 3)),
+                            li_over_pdf=jnp.zeros((n, 3)), pdf_sa=z,
+                            valid=jnp.zeros((n,), bool))
+
+    # --- env branch (uniform sphere direction) ---
+    _, wr = world_center_radius(scene)
+    wl_e = warp.square_to_uniform_sphere(u3[..., 1:3])
+    dist_e = jnp.full((n,), 2.0) * wr
+    pdf_e_sa = jnp.full((n,), 1.0) * pdf_env_sa(scene)
+    li_over_pdf_e = jnp.broadcast_to(
+        scene.env_radiance, (n, 3)) / jnp.maximum(pdf_e_sa, 1e-20)[..., None]
+
+    is_a = (grp == 0)[..., None]
+    is_d = (grp == 1)[..., None]
+    wl = jnp.where(is_a, wl_a, jnp.where(is_d, ds_d.wl, wl_e))
+    dist = jnp.where(grp == 0, dist_a,
+                     jnp.where(grp == 1, ds_d.dist, dist_e))
+    p_light = jnp.where(is_a, es.p,
+                        jnp.where(is_d, ds_d.p_light,
+                                  p_from + wl_e * dist_e[..., None]))
+    li = jnp.where(is_a, li_over_pdf_a,
+                   jnp.where(is_d, ds_d.li_over_pdf, li_over_pdf_e))
+    pdf_sa = jnp.where(grp == 0, pdf_a_sa,
+                       jnp.where(grp == 1, 0.0, pdf_e_sa))
+    valid = jnp.where(grp == 0, ok_a,
+                      jnp.where(grp == 1, ds_d.valid, gp[2] > 0))
+    return DirectSample(wl=wl, dist=dist, p_light=p_light, li_over_pdf=li,
+                        pdf_sa=pdf_sa, valid=valid)
+
+
+# --------------------------------------------------------------------------
+# photon emission (all emitter kinds)
+
+
+def sample_photon(scene: Scene, key, n):
+    """Sample n photon-emission rays across ALL emitter groups by power.
+
+    Returns a dict with: p, d, alpha (power/pdf), med, valid, plus the
+    shift caches the particle tracer stores for first-bounce photons
+    (ns/scatter/pdf_dir meaningful only for area lights; reconnectable is
+    False for delta/env parents — conservative unilateral shifts, the
+    reference's area-only restriction, gvpm.cpp:148-158)."""
+    k_pick, k_pos, k_dir, k_disk = jax.random.split(key, 4)
+    u3 = jax.random.uniform(k_pos, (n, 3))
+    u2 = jax.random.uniform(k_dir, (n, 2))
+    u_disk = jax.random.uniform(k_disk, (n, 2))
+    gp = scene.light_group_p
+    u_pick = jax.random.uniform(k_pick, (n,))
+    grp = jnp.where(u_pick < gp[0], 0,
+                    jnp.where(u_pick < gp[0] + gp[1], 1, 2))
+    wc, wr = world_center_radius(scene)
+
+    # --- area: flux-weighted prim + cosine direction -----------------
+    es = sample_position(scene, u3)
+    d_a, pdf_dir_a = sample_direction(scene, es, u2)
+    cos_e = jnp.maximum(dot(es.n, d_a), 0.0)
+    alpha_a = es.radiance * (cos_e / jnp.maximum(
+        es.pdf_area * pdf_dir_a * gp[0], 1e-20))[..., None]
+    ok_a = es.valid & (cos_e > 0)
+
+    # --- delta: point / spot / directional ---------------------------
+    n_de = scene.de_type.shape[0]
+    if n_de > 0:
+        k = jnp.clip(jnp.searchsorted(scene.de_cdf, u3[..., 0],
+                                      side="right"), 0, n_de - 1)
+        pmf = scene.de_cdf[k] - jnp.where(k > 0, scene.de_cdf[k - 1], 0.0)
+        det = scene.de_type[k]
+        axis = scene.de_dir[k]
+        # point: uniform sphere; spot: uniform cone of the cutoff angle
+        d_sph = warp.square_to_uniform_sphere(u2)
+        cc = scene.de_cos_cutoff[k]
+        d_cone, pdf_cone = warp.square_to_uniform_cone(u2, cc)
+        s_ax, t_ax = coordinate_system(axis)
+        d_cone = to_world(axis, s_ax, t_ax, d_cone)
+        fall = _spot_falloff_dir(scene, k, d_cone)
+        # directional: offset over the bounding disk, shoot along axis
+        disk = warp.square_to_uniform_disk(u_disk) * wr
+        s2, t2 = coordinate_system(axis)
+        p_dir = wc - axis * wr + s2 * disk[..., 0:1] + t2 * disk[..., 1:2]
+        pdf_pos_dir = 1.0 / (jnp.pi * wr * wr)
+
+        d_de = jnp.where((det == DE_POINT)[..., None], d_sph,
+                         jnp.where((det == DE_SPOT)[..., None], d_cone,
+                                   axis))
+        p_de = jnp.where((det == DE_DIRECTIONAL)[..., None], p_dir,
+                         scene.de_p[k])
+        w_point = warp.FOURPI * jnp.ones_like(pmf)
+        w_spot = fall / jnp.maximum(pdf_cone, 1e-20)
+        w_dir = (1.0 / pdf_pos_dir) * jnp.ones_like(pmf)
+        w_de = jnp.where(det == DE_POINT, w_point,
+                         jnp.where(det == DE_SPOT, w_spot, w_dir))
+        alpha_de = scene.de_intensity[k] \
+            * (w_de / jnp.maximum(pmf * gp[1], 1e-20))[..., None]
+        med_de = scene.de_medium[k]
+        ok_de = pmf > 0
+    else:
+        p_de = d_de = alpha_de = jnp.zeros((n, 3))
+        med_de = jnp.full((n,), -1, jnp.int32)
+        ok_de = jnp.zeros((n,), bool)
+
+    # --- env: inward uniform-sphere direction from the bounding disk --
+    d_env_out = warp.square_to_uniform_sphere(u2)   # direction TO the env
+    d_env = -d_env_out
+    disk_e = warp.square_to_uniform_disk(u_disk) * wr
+    se, te = coordinate_system(d_env)
+    p_env = wc + d_env_out * wr + se * disk_e[..., 0:1] \
+        + te * disk_e[..., 1:2]
+    # alpha = L / (pdf_dir * pdf_pos * group_p) = L * 4pi * pi R^2 / gp
+    alpha_env = jnp.broadcast_to(scene.env_radiance, (n, 3)) \
+        * (warp.FOURPI * jnp.pi * wr * wr
+           / jnp.maximum(gp[2], 1e-20))
+
+    is_a = (grp == 0)[..., None]
+    is_d = (grp == 1)[..., None]
+    p = jnp.where(is_a, es.p + es.n * 1e-4,
+                  jnp.where(is_d, p_de, p_env))
+    d = jnp.where(is_a, d_a, jnp.where(is_d, d_de, d_env))
+    alpha = jnp.where(is_a, alpha_a, jnp.where(is_d, alpha_de, alpha_env))
+    valid = jnp.where(grp == 0, ok_a & (gp[0] > 0),
+                      jnp.where(grp == 1, ok_de, gp[2] > 0))
+    from ..render.visibility import medium_transition
+    med_a = medium_transition(scene, es.prim, es.n, d_a)
+    med0 = jnp.where(grp == 0, med_a,
+                     jnp.where(grp == 1, med_de, -1))
+    return dict(
+        p=p, d=d, alpha=alpha, med=med0, valid=valid,
+        ns=jnp.where(is_a, es.n, d),
+        pdf_dir=jnp.where(grp == 0, pdf_dir_a, 1.0),
+        scatter=jnp.where(is_a, cos_e[..., None],
+                          jnp.ones((n, 3))),
+        reconnectable=grp == 0,
+        prim=es.prim,
+    )
+
+
+def _spot_falloff_dir(scene: Scene, k, d_emit):
+    """Spot falloff for an EMISSION direction (not a to-light dir)."""
+    cos_t = dot(scene.de_dir[k], d_emit)
+    cc = scene.de_cos_cutoff[k]
+    cf = scene.de_cos_falloff[k]
+    lin = (cos_t - cc) / jnp.maximum(cf - cc, 1e-6)
+    return jnp.where(cos_t <= cc, 0.0,
+                     jnp.where(cos_t >= cf, 1.0, lin))

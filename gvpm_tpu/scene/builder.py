@@ -25,8 +25,8 @@ import jax.numpy as jnp
 from ..core.spectrum import luminance
 from .types import (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_NULL,
                     BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR,
-                    BSDF_ROUGH_DIELECTRIC, NO_EMITTER, NO_MEDIUM, PHASE_HG,
-                    PHASE_ISOTROPIC, Scene)
+                    BSDF_ROUGH_DIELECTRIC, DE_DIRECTIONAL, DE_POINT, DE_SPOT,
+                    NO_EMITTER, NO_MEDIUM, PHASE_HG, PHASE_ISOTROPIC, Scene)
 
 
 def _v(x):
@@ -58,6 +58,9 @@ class SceneBuilder:
         self._bsdfs = []         # dict rows
         self._media = []         # dict rows
         self._emitters = []      # radiance rows
+        self._delta = []         # delta/infinite emitter rows (dicts)
+        self._env = (0.0, 0.0, 0.0)
+        self._het = None         # heterogeneous medium (at most one)
         self._cam = None
         self._cam_medium = NO_MEDIUM
 
@@ -105,11 +108,40 @@ class SceneBuilder:
         return self._add_bsdf(type=BSDF_NULL, albedo=(1.0, 1.0, 1.0))
 
     # ---------------- media ----------------
-    def homogeneous(self, sigma_a, sigma_s, g=0.0):
-        phase = PHASE_ISOTROPIC if abs(g) < 1e-6 else PHASE_HG
+    def homogeneous(self, sigma_a, sigma_s, g=0.0, phase="auto"):
+        """phase: 'auto' (isotropic / hg by g), 'isotropic', 'hg',
+        'rayleigh' (src/phase/rayleigh.cpp)."""
+        from .types import PHASE_RAYLEIGH
+        if phase == "auto":
+            pid = PHASE_ISOTROPIC if abs(g) < 1e-6 else PHASE_HG
+        else:
+            pid = {"isotropic": PHASE_ISOTROPIC, "hg": PHASE_HG,
+                   "rayleigh": PHASE_RAYLEIGH}[phase]
         self._media.append(dict(sigma_a=tuple(sigma_a), sigma_s=tuple(sigma_s),
-                                g=g, phase=phase))
+                                g=g, phase=pid))
         return len(self._media) - 1
+
+    def heterogeneous(self, density, lo, hi, sigma_t_scale=(1.0, 1.0, 1.0),
+                      albedo=(0.9, 0.9, 0.9), g=0.0, phase="auto"):
+        """Grid-density medium (src/medium/heterogeneous.cpp):
+        sigma_t(x) = trilinear(density, x) * sigma_t_scale;
+        sigma_s = albedo * sigma_t. density: numpy [Gx,Gy,Gz] >= 0.
+        One heterogeneous medium per scene (delta/ratio tracking)."""
+        if self._het is not None:
+            raise ValueError("only one heterogeneous medium per scene")
+        density = np.asarray(density, np.float32)
+        if density.ndim != 3:
+            raise ValueError("density must be [Gx,Gy,Gz]")
+        # the medium-table row carries the phase function and the
+        # majorant-level coefficients (used by homogeneous-only paths)
+        maj_sig = density.max() * np.asarray(sigma_t_scale, np.float32)
+        mid = self.homogeneous(
+            sigma_a=tuple(maj_sig * (1.0 - np.asarray(albedo))),
+            sigma_s=tuple(maj_sig * np.asarray(albedo)), g=g, phase=phase)
+        self._het = dict(density=density, lo=_v(lo), hi=_v(hi),
+                         scale=_v(sigma_t_scale), albedo=_v(albedo),
+                         medium=mid)
+        return mid
 
     # ---------------- emitters ----------------
     def _add_emitter(self, radiance):
@@ -176,6 +208,43 @@ class SceneBuilder:
         """Returns an emitter id to attach to geometry."""
         return self._add_emitter(radiance)
 
+    def point_light(self, position, intensity, medium=NO_MEDIUM):
+        """Isotropic point light (emitters/point.cpp); intensity in W/sr."""
+        self._delta.append(dict(type=DE_POINT, p=tuple(position),
+                                dir=(0.0, 0.0, 1.0),
+                                intensity=tuple(intensity),
+                                cos_cutoff=-1.0, cos_falloff=-1.0,
+                                medium=medium))
+
+    def spot_light(self, position, target, intensity, cutoff_deg=20.0,
+                   beam_width_deg=None, medium=NO_MEDIUM):
+        """Spot light with linear falloff between beamWidth and cutoff
+        (emitters/spot.cpp: falloffCurve)."""
+        if beam_width_deg is None:
+            beam_width_deg = cutoff_deg * 0.75
+        axis = _v(target) - _v(position)
+        axis = axis / np.linalg.norm(axis)
+        self._delta.append(dict(
+            type=DE_SPOT, p=tuple(position), dir=tuple(axis),
+            intensity=tuple(intensity),
+            cos_cutoff=float(np.cos(np.radians(cutoff_deg))),
+            cos_falloff=float(np.cos(np.radians(beam_width_deg))),
+            medium=medium))
+
+    def directional_light(self, direction, irradiance, medium=NO_MEDIUM):
+        """Distant directional light (emitters/directional.cpp);
+        irradiance on a surface facing the light, W/m^2."""
+        d = _v(direction)
+        d = d / np.linalg.norm(d)
+        self._delta.append(dict(type=DE_DIRECTIONAL, p=(0.0, 0.0, 0.0),
+                                dir=tuple(d), intensity=tuple(irradiance),
+                                cos_cutoff=-1.0, cos_falloff=-1.0,
+                                medium=medium))
+
+    def constant_env(self, radiance):
+        """Constant environment emitter (emitters/constant.cpp)."""
+        self._env = tuple(radiance)
+
     def medium_box(self, lo, hi, medium, bsdf=None):
         """Axis-aligned null-boundary box filled with `medium`."""
         if bsdf is None:
@@ -184,8 +253,14 @@ class SceneBuilder:
 
     # ---------------- camera ----------------
     def camera(self, origin, target, up=(0, 1, 0), fov=45.0,
-               medium=NO_MEDIUM):
-        self._cam = (look_at(origin, target, up), float(fov))
+               medium=NO_MEDIUM, aperture_radius=0.0,
+               focus_distance=None):
+        """Perspective pinhole; aperture_radius > 0 makes a thinlens
+        sensor focused at focus_distance (default: |target - origin|)."""
+        if focus_distance is None:
+            focus_distance = float(np.linalg.norm(_v(target) - _v(origin)))
+        self._cam = (look_at(origin, target, up), float(fov),
+                     float(aperture_radius), float(focus_distance))
         self._cam_medium = medium
 
     # ---------------- build ----------------
@@ -250,14 +325,14 @@ class SceneBuilder:
             em_prim = np.array(em_prim, np.int32)
             em_area = np.array(em_area, np.float32)
             flux = np.array(em_flux, np.float64)
-            total = flux.sum()
-            cdf = np.cumsum(flux / total).astype(np.float32)
+            area_total = flux.sum()
+            cdf = np.cumsum(flux / area_total).astype(np.float32)
             cdf[-1] = 1.0
         else:
             em_prim = np.zeros((0,), np.int32)
             em_area = np.zeros((0,), np.float32)
             cdf = np.zeros((0,), np.float32)
-            total = 0.0
+            area_total = 0.0
 
         # world bounds
         pts = np.concatenate([tp0, tp0 + te1, tp0 + te2], axis=0)
@@ -280,7 +355,69 @@ class SceneBuilder:
             med_lo = np.minimum(med_lo, (sc - sr[:, None])[shas].min(axis=0))
             med_hi = np.maximum(med_hi, (sc + sr[:, None])[shas].max(axis=0))
 
-        cam_mat, fov = self._cam
+        cam_mat, fov, cam_ap, cam_focus = self._cam
+
+        # --- delta / env emitter power bookkeeping -----------------------
+        # scene bounding-sphere radius: conversion factor for infinite
+        # emitters (directional flux = E*pi*R^2; constant env flux =
+        # 4*pi^2*R^2*L — emitters/constant.cpp uses the same measure)
+        wc = 0.5 * (world_lo + world_hi)
+        wr = float(np.linalg.norm(world_hi - wc)) + 1e-6
+        De = len(self._delta)
+        if De:
+            de_type = np.array([d["type"] for d in self._delta], np.int32)
+            de_p = np.stack([_v(d["p"]) for d in self._delta])
+            de_dir = np.stack([_v(d["dir"]) for d in self._delta])
+            de_int = np.stack([_v(d["intensity"]) for d in self._delta])
+            de_cc = np.array([d["cos_cutoff"] for d in self._delta],
+                             np.float32)
+            de_cf = np.array([d["cos_falloff"] for d in self._delta],
+                             np.float32)
+            de_med = np.array([d["medium"] for d in self._delta], np.int32)
+            lum = np.array([float(luminance(jnp.asarray(i)))
+                            for i in de_int], np.float64)
+            # power: point 4*pi*I; spot: solid angle of the falloff curve
+            # (2*pi*(1 - 0.5*(cosFall+cosCut)), spot.cpp); directional:
+            # E * pi R^2
+            sa_spot = 2.0 * np.pi * (1.0 - 0.5 * (de_cf + de_cc))
+            de_power = np.where(
+                de_type == DE_POINT, 4.0 * np.pi * lum,
+                np.where(de_type == DE_SPOT, sa_spot * lum,
+                         np.pi * wr * wr * lum))
+            delta_total = de_power.sum()
+            de_cdf = np.cumsum(de_power / max(delta_total, 1e-30))
+            de_cdf = de_cdf.astype(np.float32)
+            de_cdf[-1] = 1.0
+        else:
+            de_type = de_med = np.zeros((0,), np.int32)
+            de_p = de_dir = de_int = np.zeros((0, 3), np.float32)
+            de_cc = de_cf = de_cdf = np.zeros((0,), np.float32)
+            delta_total = 0.0
+        # heterogeneous-medium tables
+        if self._het is not None:
+            het_density = self._het["density"]
+            het_lo, het_hi = self._het["lo"], self._het["hi"]
+            het_scale = self._het["scale"]
+            het_albedo = self._het["albedo"]
+            het_maj = float(het_density.max() * het_scale.max()) + 1e-8
+            het_medium = self._het["medium"]
+        else:
+            het_density = np.zeros((0, 0, 0), np.float32)
+            het_lo = np.zeros(3, np.float32)
+            het_hi = np.ones(3, np.float32)
+            het_scale = np.ones(3, np.float32)
+            het_albedo = np.ones(3, np.float32)
+            het_maj = 1.0
+            het_medium = -1
+
+        env_total = 4.0 * np.pi ** 2 * wr * wr \
+            * float(luminance(jnp.asarray(_v(self._env))))
+        total = area_total + delta_total + env_total
+        if total > 0:
+            group_p = np.array([area_total, delta_total, env_total],
+                               np.float64) / total
+        else:
+            group_p = np.array([1.0, 0.0, 0.0])
 
         f32 = jnp.float32
         return Scene(
@@ -301,11 +438,28 @@ class SceneBuilder:
             med_sigma_s=jnp.asarray([m["sigma_s"] for m in self._media], f32),
             med_g=jnp.asarray([m["g"] for m in self._media], f32),
             med_phase=jnp.asarray([m["phase"] for m in self._media], jnp.int32),
+            het_density=jnp.asarray(het_density, f32),
+            het_lo=jnp.asarray(het_lo, f32),
+            het_hi=jnp.asarray(het_hi, f32),
+            het_sigma_scale=jnp.asarray(het_scale, f32),
+            het_albedo=jnp.asarray(het_albedo, f32),
+            het_majorant=jnp.asarray(het_maj, f32),
+            het_medium=het_medium,
             em_radiance=jnp.asarray(em_rad, f32),
             em_prim=jnp.asarray(em_prim),
             em_prim_area=jnp.asarray(em_area, f32),
             em_cdf=jnp.asarray(cdf, f32),
             em_power=jnp.asarray(total, f32),
+            de_type=jnp.asarray(de_type),
+            de_p=jnp.asarray(de_p, f32),
+            de_dir=jnp.asarray(de_dir, f32),
+            de_intensity=jnp.asarray(de_int, f32),
+            de_cos_cutoff=jnp.asarray(de_cc, f32),
+            de_cos_falloff=jnp.asarray(de_cf, f32),
+            de_medium=jnp.asarray(de_med),
+            de_cdf=jnp.asarray(de_cdf, f32),
+            env_radiance=jnp.asarray(_v(self._env), f32),
+            light_group_p=jnp.asarray(group_p, f32),
             cam_to_world=jnp.asarray(cam_mat, f32),
             cam_tan_half_fov_x=jnp.asarray(
                 np.tan(np.radians(fov) * 0.5), f32),
@@ -315,4 +469,5 @@ class SceneBuilder:
             medium_lo=jnp.asarray(med_lo, f32),
             medium_hi=jnp.asarray(med_hi, f32),
             width=width, height=height,
+            cam_aperture=cam_ap, cam_focus=cam_focus,
         )

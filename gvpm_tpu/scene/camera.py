@@ -23,12 +23,17 @@ def _cam_axes(scene: Scene):
     return origin, right, up, fwd
 
 
-def generate_rays(scene: Scene, px, py, u):
+def generate_rays(scene: Scene, px, py, u, u_lens=None):
     """Primary rays through pixel (px, py) at in-pixel offset u in [0,1)^2.
 
     Returns (o, d, spread): spread is the angular pixel footprint growth
     rate — the world-space radius of the pixel at distance t along the ray
     is ~ spread * t (used for gather-point radius init).
+
+    Thinlens (scene.cam_aperture > 0, src/sensors/thinlens.cpp): the
+    pinhole ray is re-aimed from a sampled lens-disk point at its
+    focal-plane intersection. u_lens defaults to the lens center
+    (pinhole-through-center) when not supplied.
     """
     origin, right, up, fwd = _cam_axes(scene)
     W, H = scene.width, scene.height
@@ -43,6 +48,14 @@ def generate_rays(scene: Scene, px, py, u):
     d = normalize(d_cam[..., 0:1] * right + d_cam[..., 1:2] * up
                   + d_cam[..., 2:3] * fwd)
     o = jnp.broadcast_to(origin, d.shape)
+    if scene.cam_aperture > 0.0 and u_lens is not None:
+        from ..core.warp import square_to_uniform_disk_concentric
+        t_focus = scene.cam_focus / jnp.maximum(dot(d, fwd), 1e-6)
+        pf = o + d * t_focus[..., None]
+        lens = square_to_uniform_disk_concentric(u_lens) \
+            * scene.cam_aperture
+        o = origin + right * lens[..., 0:1] + up * lens[..., 1:2]
+        d = normalize(pf - o)
     # one-pixel offset in x on the film plane (z=1): length of d(dir)
     pix_dx = (2.0 * thf / W)
     inv_len = jnp.reciprocal(jnp.sqrt(1.0 + dx * dx + dy * dy))

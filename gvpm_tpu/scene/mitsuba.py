@@ -206,6 +206,19 @@ class MitsubaLoader:
         ph = elem.find("phase")
         if ph is not None and ph.get("type") == "hg":
             g = _props(ph, self.defaults).get("g", 0.0)
+        if elem.get("type") == "heterogeneous":
+            # gridvolume density (medium/heterogeneous.cpp)
+            from ..utils.volume import read_vol
+            for vol in elem.findall("volume"):
+                if vol.get("type") == "gridvolume":
+                    vp = _props(vol, self.defaults)
+                    fn = os.path.join(self.dir, vp.get("filename", ""))
+                    dens, lo, hi = read_vol(fn)
+                    albedo = p.get("albedo", (0.75,) * 3)
+                    return self.b.heterogeneous(
+                        dens, lo, hi,
+                        sigma_t_scale=(scale,) * 3, albedo=albedo, g=g)
+            # constant-volume heterogeneous degrades to homogeneous
         return self.b.homogeneous(sigma_a=sa, sigma_s=ss, g=g)
 
     # ------------------------------------------------------------------
@@ -329,12 +342,37 @@ class MitsubaLoader:
                     self.medium_ids[elem.get("id")] = mid
             elif elem.tag == "shape":
                 self._add_shape(elem)
+            elif elem.tag == "emitter":
+                self._add_emitter(elem)
             elif elem.tag == "sensor":
                 self._parse_sensor(elem)
 
         scene = self.b.build(width=self.film["width"],
                              height=self.film["height"])
         return scene, {"integrator": self.integrator, "film": self.film}
+
+    def _add_emitter(self, elem):
+        """Scene-level (non-shape) emitters: point | spot | directional |
+        constant (src/emitters/*.cpp)."""
+        etype = elem.get("type")
+        p = _props(elem, self.defaults)
+        m = _transform(elem.find("transform"), self.defaults)
+        if etype == "point":
+            pos = p.get("position", tuple(m[:3, 3]))
+            self.b.point_light(pos, p.get("intensity", (1, 1, 1)))
+        elif etype == "spot":
+            origin = m[:3, 3]
+            target = origin + m[:3, 2]
+            cutoff = p.get("cutoffAngle", 20.0)
+            beam = p.get("beamWidth", cutoff * 0.75)
+            self.b.spot_light(origin, target, p.get("intensity", (1, 1, 1)),
+                              cutoff_deg=cutoff, beam_width_deg=beam)
+        elif etype == "directional":
+            d = p.get("direction", tuple(m[:3, 2]))
+            self.b.directional_light(d, p.get("irradiance", (1, 1, 1)))
+        elif etype == "constant":
+            self.b.constant_env(p.get("radiance", (1, 1, 1)))
+        # sun/sky/envmap: unsupported in round 1 (ignored, logged upstream)
 
     def _parse_sensor(self, elem):
         p = _props(elem, self.defaults)
@@ -353,8 +391,12 @@ class MitsubaLoader:
         origin = m[:3, 3]
         fwd = m[:3, 2]
         up = m[:3, 1]
+        ap = p.get("apertureRadius", 0.0) \
+            if elem.get("type") == "thinlens" else 0.0
         self.b.camera(origin=origin, target=origin + fwd, up=up,
-                      fov=p.get("fov", 45.0), medium=self._cam_medium)
+                      fov=p.get("fov", 45.0), medium=self._cam_medium,
+                      aperture_radius=ap,
+                      focus_distance=p.get("focusDistance", None))
 
 
 def load(path, defaults=None):

@@ -35,6 +35,12 @@ BSDF_PLASTIC = 7
 # Phase function ids
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
+PHASE_RAYLEIGH = 2
+
+# Delta/infinite emitter type ids (de_type table values)
+DE_POINT = 0        # isotropic point light (emitters/point.cpp)
+DE_SPOT = 1         # spot light with linear falloff (emitters/spot.cpp)
+DE_DIRECTIONAL = 2  # distant directional light (emitters/directional.cpp)
 
 NO_MEDIUM = -1
 NO_EMITTER = -1
@@ -75,12 +81,38 @@ class Scene:
     med_g: jnp.ndarray         # [M] HG g (0 => isotropic)
     med_phase: jnp.ndarray     # [M] int32 phase type
 
+    # --- heterogeneous medium (one grid-density medium per scene;
+    #     reference: src/medium/heterogeneous.cpp + gridvolume .vol) ---
+    het_density: jnp.ndarray   # [Gx,Gy,Gz] density grid ((0,0,0) = none)
+    het_lo: jnp.ndarray        # [3] grid AABB
+    het_hi: jnp.ndarray        # [3]
+    het_sigma_scale: jnp.ndarray  # [3] sigma_t(x) = density(x) * scale
+    het_albedo: jnp.ndarray    # [3] sigma_s = albedo * sigma_t
+    het_majorant: jnp.ndarray  # [] gray majorant for delta/ratio tracking
+
     # --- emitters (area) ---
     em_radiance: jnp.ndarray   # [E,3]
     em_prim: jnp.ndarray       # [Te] int32 global prim id of emissive prim
     em_prim_area: jnp.ndarray  # [Te]
-    em_cdf: jnp.ndarray        # [Te] inclusive normalized flux CDF
-    em_power: jnp.ndarray      # [] total emitted power (for photon scaling)
+    em_cdf: jnp.ndarray        # [Te] inclusive flux CDF (conditional on
+                               #      picking the area-light group)
+    em_power: jnp.ndarray      # [] total emitted power, ALL emitter kinds
+
+    # --- delta / infinite emitters (point | spot | directional) ---
+    de_type: jnp.ndarray       # [De] int32 DE_*
+    de_p: jnp.ndarray          # [De,3] position (point/spot; unused dir.)
+    de_dir: jnp.ndarray        # [De,3] unit axis (spot/directional)
+    de_intensity: jnp.ndarray  # [De,3] W/sr (point/spot), W/m^2 (dir.)
+    de_cos_cutoff: jnp.ndarray # [De] cos of spot total-width half-angle
+    de_cos_falloff: jnp.ndarray  # [De] cos of spot falloff-start half-angle
+    de_medium: jnp.ndarray     # [De] int32 medium containing the emitter
+    de_cdf: jnp.ndarray        # [De] power CDF (conditional on delta group)
+
+    # --- environment (constant; emitters/constant.cpp) ---
+    env_radiance: jnp.ndarray  # [3] (zeros = no environment emitter)
+
+    # --- group pick probabilities: (area, delta, env), sums to 1 ---
+    light_group_p: jnp.ndarray # [3] power share per emitter group
 
     # --- camera (perspective pinhole) ---
     cam_to_world: jnp.ndarray  # [4,4] camera->world
@@ -96,6 +128,12 @@ class Scene:
     # --- static metadata (not traced) ---
     width: int = flax.struct.field(pytree_node=False, default=256)
     height: int = flax.struct.field(pytree_node=False, default=256)
+    # thinlens sensor (src/sensors/thinlens.cpp); 0 aperture = pinhole
+    cam_aperture: float = flax.struct.field(pytree_node=False, default=0.0)
+    cam_focus: float = flax.struct.field(pytree_node=False, default=1.0)
+    # medium-table row that is heterogeneous (-1 = all homogeneous);
+    # static so homogeneous scenes compile zero tracking code
+    het_medium: int = flax.struct.field(pytree_node=False, default=-1)
 
     @property
     def n_tris(self):

@@ -29,3 +29,7 @@ jax.config.update("jax_threefry_partitionable", True)
 # persistent compile cache: this box is compile-bound (2 CPUs)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")

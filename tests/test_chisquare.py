@@ -86,10 +86,12 @@ def test_bsdf_sampling_matches_pdf(kind, kw):
     _chi2_check(sample_fn, pdf_fn)
 
 
-@pytest.mark.parametrize("g", [0.0, 0.5, -0.3])
-def test_phase_sampling_matches_pdf(g):
+@pytest.mark.parametrize("g,phase", [(0.0, "auto"), (0.5, "auto"),
+                                     (-0.3, "auto"), (0.0, "rayleigh")])
+def test_phase_sampling_matches_pdf(g, phase):
     b = SceneBuilder()
-    m = b.homogeneous(sigma_a=[0.1] * 3, sigma_s=[1.0] * 3, g=g)
+    m = b.homogeneous(sigma_a=[0.1] * 3, sigma_s=[1.0] * 3, g=g,
+                      phase=phase)
     b.rectangle([0, 0, 0], [1, 0, 0], [0, 1, 0], b.diffuse([0.5] * 3))
     b.camera(origin=[0, 0, -1], target=[0, 0, 0])
     scene = b.build()

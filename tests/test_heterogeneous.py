@@ -1,0 +1,126 @@
+"""Heterogeneous medium tests (reference: src/medium/heterogeneous.cpp).
+
+Strategy: a CONSTANT density grid is physically identical to a
+homogeneous medium, so tracking estimators must agree with the
+closed forms in expectation; a varying grid checks the trilinear
+lookup and ratio-tracking transmittance against quadrature."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gvpm_tpu.scene import SceneBuilder
+from gvpm_tpu.core.config import VolPathConfig
+from gvpm_tpu.render import medium as med
+from gvpm_tpu.integrators import volpath
+
+
+def _box(density, sigma_t=1.2, albedo=0.8, hetero=True):
+    b = SceneBuilder()
+    white = b.diffuse([0.7] * 3)
+    light = b.area_light([20.0] * 3)
+    if hetero:
+        m = b.heterogeneous(density, [0.02] * 3, [0.98] * 3,
+                            sigma_t_scale=(sigma_t,) * 3,
+                            albedo=(albedo,) * 3)
+    else:
+        mean_d = float(np.mean(density))
+        st = sigma_t * mean_d
+        m = b.homogeneous(sigma_a=[st * (1 - albedo)] * 3,
+                          sigma_s=[st * albedo] * 3)
+    for o, e1, e2 in [([0, 0, 0], [0, 0, 1], [1, 0, 0]),
+                      ([0, 1, 0], [1, 0, 0], [0, 0, 1]),
+                      ([0, 0, 1], [0, 1, 0], [1, 0, 0]),
+                      ([0, 0, 0], [0, 1, 0], [0, 0, 1]),
+                      ([1, 0, 0], [0, 0, 1], [0, 1, 0])]:
+        b.rectangle(o, e1, e2, white)
+    b.rectangle([0.35, 0.998, 0.35], [0.3, 0, 0], [0, 0, 0.3], white,
+                emitter=light)
+    b.medium_box([0.02] * 3, [0.98] * 3, m)
+    b.camera(origin=[0.5, 0.5, -1.2], target=[0.5, 0.5, 0.5], fov=45)
+    return b.build(width=12, height=12)
+
+
+def test_trilinear_lookup():
+    dens = np.zeros((2, 2, 2), np.float32)
+    dens[1, :, :] = 2.0  # linear ramp along x
+    scene = _box(dens)
+    p = jnp.asarray([[0.02, 0.5, 0.5], [0.5, 0.5, 0.5], [0.98, 0.5, 0.5],
+                     [2.0, 0.5, 0.5]])
+    st = np.asarray(med.het_sigma_t(scene, p))
+    np.testing.assert_allclose(st[0], 0.0, atol=1e-5)
+    np.testing.assert_allclose(st[1], 1.2 * 1.0, rtol=1e-4)
+    np.testing.assert_allclose(st[2], 1.2 * 2.0, rtol=1e-4)
+    np.testing.assert_allclose(st[3], 0.0, atol=1e-6)  # outside grid
+
+
+def test_ratio_tracking_matches_beer_lambert():
+    """Constant grid: ratio-tracking transmittance must average to
+    exp(-sigma_t * L)."""
+    dens = np.full((3, 3, 3), 1.0, np.float32)
+    scene = _box(dens, sigma_t=2.0)
+    n = 32768
+    o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.05]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.key(0), i))(
+        jnp.arange(n))
+    tr = np.asarray(med.het_transmittance(
+        scene, o, d, jnp.full((n,), 0.8), keys))
+    expect = np.exp(-2.0 * 0.8)
+    assert abs(tr.mean() / expect - 1.0) < 0.05, (tr.mean(), expect)
+
+
+def test_delta_tracking_collision_density():
+    """Constant grid: P(collision before L) must equal 1-exp(-sigma_t L),
+    and the Tr/pdf contract must average to the analytic in-scatter
+    integral weight."""
+    dens = np.full((2, 2, 2), 1.0, np.float32)
+    scene = _box(dens, sigma_t=1.5)
+    n = 8192
+    o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.05]]), (n, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    u = jax.random.uniform(jax.random.key(1), (n,))
+    ms = med.sample_distance(scene, jnp.zeros((n,), jnp.int32), o, d,
+                             jnp.full((n,), 0.6), u,
+                             key=jax.random.key(2))
+    succ = np.asarray(ms.success)
+    p_analytic = 1.0 - np.exp(-1.5 * 0.6)
+    assert abs(succ.mean() / p_analytic - 1.0) < 0.05
+    # E[1{success} * Tr/pdf * sigma_s] = albedo * (1 - exp(-st L))
+    w = np.asarray(ms.transmittance * ms.sigma_s
+                   / np.maximum(np.asarray(ms.pdf_success)[..., None],
+                                1e-20))
+    est = (w * succ[..., None]).mean(axis=0)
+    expect = 0.8 * p_analytic
+    np.testing.assert_allclose(est, expect, rtol=0.06)
+
+
+@pytest.mark.slow
+def test_constant_grid_matches_homogeneous_render():
+    dens = np.full((4, 4, 4), 1.0, np.float32)
+    cfg = VolPathConfig(spp=12, max_depth=5, null_bounces=3)
+    het = volpath.render(_box(dens, hetero=True), cfg, seed=0)
+    hom = volpath.render(_box(dens, hetero=False), cfg, seed=0)
+    assert jnp.isfinite(het).all()
+    m_het, m_hom = float(jnp.mean(het)), float(jnp.mean(hom))
+    assert abs(m_het / m_hom - 1.0) < 0.15, (m_het, m_hom)
+
+
+def test_varying_grid_renders_finite():
+    rng = np.random.RandomState(0)
+    dens = rng.rand(6, 6, 6).astype(np.float32) * 2.0
+    cfg = VolPathConfig(spp=4, max_depth=4, null_bounces=3)
+    img = volpath.render(_box(dens), cfg, seed=0)
+    assert jnp.isfinite(img).all()
+    assert float(jnp.mean(img)) > 0
+
+
+def test_vol_roundtrip(tmp_path):
+    from gvpm_tpu.utils import volume
+    dens = np.random.RandomState(3).rand(4, 5, 6).astype(np.float32)
+    p = str(tmp_path / "d.vol")
+    volume.write_vol(p, dens, [0, 0, 0], [1, 1, 1])
+    back, lo, hi = volume.read_vol(p)
+    np.testing.assert_array_equal(back, dens)
+    np.testing.assert_array_equal(lo, [0, 0, 0])
