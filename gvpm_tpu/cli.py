@@ -25,7 +25,10 @@ def build_argparser():
     p.add_argument("scene", help="builtin scene name or path to .xml")
     p.add_argument("-o", "--output", default="render")
     p.add_argument("-i", "--integrator", default="sppm",
-                   choices=["volpath", "sppm", "gvpm", "gpt"])
+                   choices=["volpath", "path", "direct", "ao", "ptracer",
+                            "bdpt", "gbdpt", "sppm", "ppm",
+                            "photonmapper", "vpl", "pssmlt", "gvpm",
+                            "gpt"])
     p.add_argument("--volume", default="distance",
                    choices=["none", "distance", "bre", "beam1d",
                             "beam3d", "plane0d"])
@@ -85,9 +88,56 @@ def main(argv=None):
 
     out = {}
     try:
-        if args.integrator == "volpath":
+        if args.integrator in ("volpath", "path"):
             cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
             out["image"] = volpath.render(scene, cfg, seed=args.seed)
+        elif args.integrator == "direct":
+            from .integrators import simple
+            out["image"] = simple.render_direct(scene, spp=args.spp,
+                                                seed=args.seed)
+        elif args.integrator == "ao":
+            from .integrators import simple
+            out["image"] = simple.render_ao(scene, spp=args.spp,
+                                            seed=args.seed)
+        elif args.integrator == "ptracer":
+            from .integrators import lighttrace
+            cfg = PhotonConfig(max_depth=args.max_depth,
+                               surface_photons=args.photons,
+                               volume_photons=args.photons)
+            out["image"] = lighttrace.render(scene, cfg, seed=args.seed,
+                                             passes=args.passes)
+        elif args.integrator == "bdpt":
+            from .integrators import bdpt
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out["image"] = bdpt.render(scene, cfg, seed=args.seed)
+        elif args.integrator == "gbdpt":
+            from .integrators import gbdpt
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out = gbdpt.render(scene, cfg, seed=args.seed,
+                               callback=per_pass,
+                               recon_alpha=args.recon_alpha,
+                               recon_l1=not args.l2)
+        elif args.integrator in ("ppm", "photonmapper"):
+            from .integrators import photonmapper
+            cfg = PhotonConfig(max_depth=args.max_depth,
+                               surface_photons=args.photons,
+                               volume_photons=args.photons,
+                               alpha=args.alpha)
+            out = photonmapper.render(
+                scene, cfg, seed=args.seed, passes=args.passes,
+                progressive=args.integrator == "ppm",
+                callback=per_pass)
+        elif args.integrator == "vpl":
+            from .integrators import vpl as vplmod
+            cfg = PhotonConfig(max_depth=args.max_depth)
+            out = vplmod.render(scene, cfg, seed=args.seed,
+                                passes=args.passes, callback=per_pass)
+        elif args.integrator == "pssmlt":
+            from .integrators import pssmlt
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out["image"] = pssmlt.render(
+                scene, cfg, seed=args.seed,
+                n_mutations=max(8, args.spp))
         elif args.integrator == "gpt":
             cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
             out = gpt.render(scene, cfg, seed=args.seed,

@@ -206,19 +206,19 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
     return verts
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
-    H, W = scene.height, scene.width
-    n = H * W
-    k = rng.pass_key(seed, it, rng.STREAM_CAMERA)
+def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
+    """Full BDPT estimate for pixel coords (px, py) with key k; [n,3].
+
+    All randomness derives from k and the lane index only — evaluating
+    this at offset pixel grids with the SAME k replays identical camera
+    and light subpath random sequences (the PSS identity shift G-BDPT
+    builds on, gbdpt.py)."""
+    n = px.shape[0]
     k_pix, k_cam, k_le, k_lw = jax.random.split(k, 4)
 
     n_steps = cfg.max_depth + cfg.null_bounces
 
     # ---- camera subpath ----
-    py, px = jnp.mgrid[0:H, 0:W]
-    px = px.reshape(-1).astype(jnp.float32)
-    py = py.reshape(-1).astype(jnp.float32)
     o, d, _ = generate_rays(scene, px, py,
                             jax.random.uniform(k_pix, (n, 2)))
     cam = _trace_subpath(scene, cfg, o, d,
@@ -354,7 +354,17 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
                       valid=(lv["vtype"] != VT_NONE) & ~lv["is_delta"])
             L = L + connect(cv, le)
 
-    return L.reshape(H, W, 3)
+    return L
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
+    H, W = scene.height, scene.width
+    k = rng.pass_key(seed, it, rng.STREAM_CAMERA)
+    py, px = jnp.mgrid[0:H, 0:W]
+    px = px.reshape(-1).astype(jnp.float32)
+    py = py.reshape(-1).astype(jnp.float32)
+    return radiance(scene, cfg, px, py, k).reshape(H, W, 3)
 
 
 def render(scene: Scene, cfg: VolPathConfig = VolPathConfig(), seed=0):

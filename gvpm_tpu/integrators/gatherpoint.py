@@ -46,6 +46,7 @@ class GatherPoints:
     emission: jnp.ndarray  # [N,3] directly-seen emission along the path
     pixel: jnp.ndarray     # [N] int32 flat pixel id
     depth: jnp.ndarray     # [N] camera path scatter count at GP
+    med: jnp.ndarray       # [N] int32 medium at the GP
 
 
 @flax.struct.dataclass
@@ -81,7 +82,8 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
         gp=dict(valid=jnp.zeros((n,), bool), p=jnp.zeros((n, 3)),
                 ns=jnp.zeros((n, 3)), wo=jnp.zeros((n, 3)),
                 bsdf=jnp.zeros((n,), jnp.int32), thr=jnp.zeros((n, 3)),
-                radius=jnp.zeros((n,)), depth=jnp.zeros((n,), jnp.int32)),
+                radius=jnp.zeros((n,)), depth=jnp.zeros((n,), jnp.int32),
+                med=jnp.broadcast_to(scene.cam_medium, (n,))),
     )
     step_keys = jax.random.split(k_walk, cfg.max_cam_depth)
 
@@ -126,6 +128,7 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
             radius=jnp.where(found, spread * dist_h * cfg.initial_scale,
                              gp["radius"]),
             depth=jnp.where(found, state["depth"] + 1, gp["depth"]),
+            med=jnp.where(found, cur_med, gp["med"]),
         )
 
         # continue through specular / null surfaces
@@ -161,5 +164,5 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
                        wo=gp["wo"], bsdf=gp["bsdf"], thr=gp["thr"],
                        radius=jnp.maximum(gp["radius"], 1e-5),
                        emission=state["emission"], pixel=pixel,
-                       depth=gp["depth"])
+                       depth=gp["depth"], med=gp["med"])
     return gps, CameraBeams(**beams)

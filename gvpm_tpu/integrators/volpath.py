@@ -69,22 +69,25 @@ def _nee(scene, u3, p, med_idx, throughput, f_of_dir):
     return jnp.where(ds.valid[..., None], contrib, 0.0)
 
 
+# uniforms consumed per path step in explicit primary-sample-space mode:
+# medium 2 + NEE 3 + phase 2 + bsdf 3 + RR 1
+PSS_DIMS_PER_STEP = 11
+
+
 def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
-                   tile_rngs=1):
+                   tile_rngs=1, u_explicit=None):
     """Estimate incident radiance along rays (o, d). Returns [N,3].
 
     tile_rngs=k makes the per-lane random sequence repeat every n/k lanes
     (lane i and lane i + j*n/k consume identical uniforms) — the
-    primary-sample-space replay used by the G-PT shift (gpt.py)."""
+    primary-sample-space replay used by the G-PT shift (gpt.py).
+
+    u_explicit ([n, n_steps, PSS_DIMS_PER_STEP] or None): drive the walk
+    from an explicit primary-sample-space vector instead of the key —
+    the deterministic f(u) map PSSMLT mutates (pssmlt.cpp analog)."""
     n = o.shape[0]
     n_rng = n // tile_rngs
     n_steps = cfg.max_depth + cfg.null_bounces
-
-    def U(k, *tail):
-        u = jax.random.uniform(k, (n_rng,) + tail)
-        if tile_rngs == 1:
-            return u
-        return jnp.tile(u, (tile_rngs,) + (1,) * len(tail))
 
     state = dict(
         o=o, d=d, med=jnp.broadcast_to(med_idx, (n,)),
@@ -96,10 +99,30 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         scatter_p=o,                     # last real scatter vertex
         depth=jnp.zeros((n,), jnp.int32),
     )
-    step_keys = jax.random.split(key, n_steps)
+    xs = jax.random.split(key, n_steps) if u_explicit is None \
+        else jnp.moveaxis(u_explicit, 1, 0)
 
-    def body(state, k):
-        k_med, k_nee, k_scat, k_rr = jax.random.split(k, 4)
+    def body(state, step_in):
+        if u_explicit is None:
+            k_med, k_nee, k_scat, k_rr = jax.random.split(step_in, 4)
+
+            def U(k, *tail):
+                u = jax.random.uniform(k, (n_rng,) + tail)
+                if tile_rngs == 1:
+                    return u
+                return jnp.tile(u, (tile_rngs,) + (1,) * len(tail))
+
+            u_med = U(k_med, 2)
+            u_nee3 = U(k_nee, 3)
+            u_ph2 = U(k_scat, 2)
+            u_bs3 = U(k_scat, 3)
+            u_rr = U(k_rr)
+        else:
+            u_med = step_in[:, 0:2]
+            u_nee3 = step_in[:, 2:5]
+            u_ph2 = step_in[:, 5:7]
+            u_bs3 = step_in[:, 7:10]
+            u_rr = step_in[:, 10]
         o, d = state["o"], state["d"]
         active = state["active"]
         thr = state["throughput"]
@@ -109,7 +132,6 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         t_far = jnp.where(hit.valid, hit.t, jnp.inf)
 
         # Media can only be sampled when t_far is finite or vacuum lane
-        u_med = U(k_med, 2)
         ms = med.sample_distance(scene, cur_med, o, d, t_far,
                                  u_med[:, 0], u_channel=u_med[:, 1])
 
@@ -118,7 +140,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         thr_med = thr * ms.sigma_s * ms.transmittance \
             / jnp.maximum(ms.pdf_success, 1e-20)[..., None]
 
-        u2 = U(k_scat, 2)
+        u2 = u_ph2
         wo_med, pdf_med = ph.sample_phase(scene, cur_med, -d, u2)
 
         # ---------------- surface event ----------------
@@ -143,7 +165,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
                       scene.bsdf_type.shape[0] - 1)
         is_null = scene.bsdf_type[bi] == BSDF_NULL
 
-        u3 = U(k_scat, 3)
+        u3 = u_bs3
         bs = sample_bsdf(scene, bi, wi_loc, u3)
         wo_surf = to_world(ns, s_ax, t_ax, bs.wo)
 
@@ -163,7 +185,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
             p_nee = jnp.where(mevt[..., None], ms.p,
                               _offset_ray(hit.p, hit.ng, -d))
             thr_nee = jnp.where(mevt[..., None], thr_med, thr_surf)
-            L_nee = _nee(scene, U(k_nee, 3), p_nee, cur_med, thr_nee,
+            L_nee = _nee(scene, u_nee3, p_nee, cur_med, thr_nee,
                          scatter_f)
             L_nee = jnp.where((mevt | (sevt & ~is_null))[..., None],
                               L_nee, 0.0)
@@ -218,7 +240,6 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         # Russian roulette
         q = jnp.minimum(jnp.max(new_thr, axis=-1), cfg.rr_clamp)
         do_rr = (new_depth >= cfg.rr_depth) & active
-        u_rr = U(k_rr)
         rr_kill = do_rr & (u_rr >= q)
         new_thr = jnp.where((do_rr & ~rr_kill)[..., None],
                             new_thr / jnp.maximum(q, 1e-6)[..., None],
@@ -229,7 +250,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
                     active=new_active, spec=new_spec, last_pdf=new_pdf,
                     scatter_p=new_scatter_p, depth=new_depth), None
 
-    state, _ = lax.scan(body, state, step_keys)
+    state, _ = lax.scan(body, state, xs)
     return state["L"]
 
 
