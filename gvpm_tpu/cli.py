@@ -27,8 +27,8 @@ def build_argparser():
     p.add_argument("-i", "--integrator", default="sppm",
                    choices=["volpath", "path", "direct", "ao", "ptracer",
                             "bdpt", "gbdpt", "sppm", "ppm",
-                            "photonmapper", "vpl", "pssmlt", "gvpm",
-                            "gpt"])
+                            "photonmapper", "vpl", "pssmlt", "erpt",
+                            "gvpm", "gpt"])
     p.add_argument("--volume", default="distance",
                    choices=["none", "distance", "bre", "beam1d",
                             "beam3d", "plane0d"])
@@ -136,6 +136,12 @@ def main(argv=None):
             from .integrators import pssmlt
             cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
             out["image"] = pssmlt.render(
+                scene, cfg, seed=args.seed,
+                n_mutations=max(8, args.spp))
+        elif args.integrator == "erpt":
+            from .integrators import erpt
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out["image"] = erpt.render(
                 scene, cfg, seed=args.seed,
                 n_mutations=max(8, args.spp))
         elif args.integrator == "gpt":

@@ -53,6 +53,9 @@ class PhotonConfig(PathConfig):
     max_cam_depth: int = 8            # camera path budget to 1st diffuse GP
     beam_tile: int = 256              # beam tile size for beam/plane scans
     vol_segments_per_pixel: int = 2   # compacted medium-segment budget
+    bre_knn: int = 0                  # per-photon BRE radii from local
+                                      # density, ~breInitSize kNN (bre.cpp:29)
+                                      # 0 = single global radius
 
 
 @dataclasses.dataclass(frozen=True)

@@ -158,13 +158,43 @@ def volume_distance_gather(scene: Scene, beams_cam, grid, pp, pv,
 # beam radiance estimate (camera beam x photon points, 2D kernel)
 # --------------------------------------------------------------------------
 
+def knn_radii(grid, pp, valid, r0, k, max_per_cell=32):
+    """Per-photon BRE radii from local photon density.
+
+    reference: bre.cpp:29-93 sizes each photon disc by the distance to
+    its k-th nearest neighbor. TPU version: one fixed-radius count per
+    photon over the hash grid (a single 27-cell gather instead of a kNN
+    heap walk), inverted through the 3D density relation
+    r_k ~ r0 * (k / count(r0))^(1/3), clamped to [0.25, 2] * r0 — the
+    same clamp role as the reference's radius cap. Grid must be built
+    with cell_size >= r0 so the stencil covers the count sphere.
+    """
+    r02 = r0 * r0
+
+    def fold(carry, idx, ok, scale):
+        rel = pp[idx] - pp
+        d2 = jnp.sum(rel * rel, axis=-1)
+        inside = ok & (d2 < r02) & valid
+        return carry + jnp.where(inside, scale, 0.0)
+
+    cnt = hashgrid.gather(grid, pp, fold,
+                          jnp.zeros(pp.shape[0], jnp.float32),
+                          max_per_cell=max_per_cell)
+    ratio = jnp.cbrt(k / jnp.maximum(cnt, 1.0))
+    return r0 * jnp.clip(ratio, 0.25, 2.0)
+
+
 def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
-               max_steps=48, max_per_cell=16, q_tile=256, stencil=27):
+               max_steps=48, max_per_cell=16, q_tile=256, stencil=27,
+               pr=None):
     """BRE: deterministic integral of photon discs along camera segments.
 
     Grid must be built with cell_size = 2*r_vol. The segment is marched in
     steps of r_vol; a photon contributes at the step whose t-interval
     contains its ray foot-point — visited exactly once.
+
+    pr: optional per-photon radii [P] (knn_radii), each <= 2*r_vol so the
+    stencil still covers every overlapping disc; None = global r_vol.
     """
     o, d = beams_cam["o"], beams_cam["d"]
     length = beams_cam["length"]
@@ -196,7 +226,14 @@ def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
             perp = rel - dq[:, None, :] * t_proj[..., None]
             d2 = jnp.sum(perp * perp, axis=-1)
             is_med = pv["vtype"][idx] == 2
-            inside = ok & is_med & in_step & (d2 < r_vol * r_vol) \
+            if pr is None:
+                r2_ph = r_vol * r_vol
+                k2_ph = k2
+            else:
+                r_ph = pr[idx]
+                r2_ph = r_ph * r_ph
+                k2_ph = INV_PI / jnp.maximum(r2_ph, 1e-12)
+            inside = ok & is_med & in_step & (d2 < r2_ph) \
                 & liveq[:, None]
             pf = ph.eval_phase(scene,
                                jnp.broadcast_to(miq[:, None], idx.shape),
@@ -205,7 +242,7 @@ def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
                                                 rel.shape))
             tr = jnp.exp(-stq[:, None, :] * t_proj[..., None])
             contrib = pv["alpha"][idx] * ssq[:, None, :] * tr \
-                * (pf * k2 * scale)[..., None]
+                * (pf * k2_ph * scale)[..., None]
             return jnp.sum(jnp.where(inside[..., None], contrib, 0.0),
                            axis=1)
 

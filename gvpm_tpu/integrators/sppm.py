@@ -120,9 +120,15 @@ def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
             grid_v = hashgrid.build(pp, med_valid, scene.medium_lo,
                                     2.0 * r_vol,
                                     hash_size=cfg.grid_hash_size)
+            pr = None
+            if cfg.bre_knn > 0:
+                # per-photon radii from kNN density (bre.cpp:29-93)
+                pr = estimators.knn_radii(
+                    grid_v, pp, med_valid, r_vol, cfg.bre_knn,
+                    max_per_cell=cfg.grid_max_photons_per_cell)
             Lv, pix = estimators.bre_gather(
                 scene, cb_dict, grid_v, pp, pv_dict, n_emitted, r_vol,
-                max_per_cell=cfg.grid_max_photons_per_cell)
+                max_per_cell=cfg.grid_max_photons_per_cell, pr=pr)
         elif volume == "beam1d":
             Lv, pix = estimators.beam_beam_gather(
                 scene, cb_dict, beams, n_emitted, r_vol_base * vol_scale,

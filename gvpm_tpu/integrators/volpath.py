@@ -196,7 +196,7 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         # strategy (uniform-sphere direction)
         esc = active & ~ms.success & ~hit.valid
         w_env = jnp.where(state["spec"] | jnp.logical_not(cfg.nee), 1.0,
-                          _mis(state["last_pdf"], pdf_env_sa(scene)))
+                          _mis(state["last_pdf"], pdf_env_sa(scene, d)))
         L_env = thr_surf * env_le(scene, d) * w_env[..., None]
 
         # ---------------- merge events ----------------

@@ -85,6 +85,95 @@ def _sample_beckmann(u, alpha):
     return m, pdf
 
 
+def _rough_dielectric_eval(albedo, alpha, eta, wi, wo, transport):
+    """Microfacet transmission model (Walter et al. 2007, Beckmann).
+
+    reference: bsdfs/roughdielectric.cpp eval/pdf. Returns (f [N,3],
+    pdf [N]) with the reflection and refraction lobes merged; the
+    radiance-transport 1/eta^2 compression is applied on refraction."""
+    ci, co = _cos(wi), _cos(wo)
+    reflect = (ci * co) > 0.0
+    # relative IOR of the transmitted side seen from wi
+    rel = jnp.where(ci > 0.0, eta, 1.0 / eta)
+
+    m_r = wi + wo
+    m_t = wi + rel[..., None] * wo
+    m = jnp.where(reflect[..., None], m_r, m_t)
+    m_len = jnp.sqrt(jnp.maximum(jnp.sum(m * m, axis=-1), 1e-18))
+    m = m / m_len[..., None]
+    m = m * jnp.sign(_cos(m))[..., None]          # orient to +z
+
+    wi_m = jnp.sum(wi * m, axis=-1)
+    wo_m = jnp.sum(wo * m, axis=-1)
+    F, _ = fresnel_dielectric(wi_m, eta)
+    D = _beckmann_d(m, alpha)
+    G = _smith_g1(wi, m, alpha) * _smith_g1(wo, m, alpha)
+    pdf_m = D * jnp.abs(_cos(m))
+
+    # reflection lobe
+    f_r = F * D * G / jnp.maximum(4.0 * jnp.abs(ci * co), 1e-9)
+    pdf_r = pdf_m * F / jnp.maximum(4.0 * jnp.abs(wo_m), 1e-9)
+
+    # refraction lobe (Walter eq. 21); sqrtDenom = wi.m + rel * wo.m
+    denom = wi_m + rel * wo_m
+    denom2 = jnp.maximum(denom * denom, 1e-9)
+    f_t = (jnp.abs(wi_m * wo_m) / jnp.maximum(jnp.abs(ci * co), 1e-9)
+           * rel * rel * (1.0 - F) * G * D / denom2)
+    if transport == "radiance":
+        f_t = f_t / jnp.maximum(rel * rel, 1e-9)
+    pdf_t = pdf_m * (1.0 - F) * rel * rel * jnp.abs(wo_m) / denom2
+
+    # refraction is only valid when wi/wo straddle the microfacet
+    t_ok = (wi_m * wo_m) < 0.0
+    f = jnp.where(reflect, f_r, jnp.where(t_ok, f_t, 0.0))
+    pdf = jnp.where(reflect, pdf_r, jnp.where(t_ok, pdf_t, 0.0))
+    return albedo * f[..., None], pdf
+
+
+def _rough_dielectric_sample(albedo, alpha, eta, wi, u0, u2, transport):
+    """Sample the Walter microfacet transmission model
+    (roughdielectric.cpp sample). Returns (wo, weight, pdf, eta_out, ok)."""
+    ci = _cos(wi)
+    m, pdf_m = _sample_beckmann(u2, alpha)          # up-oriented
+    wi_m = jnp.sum(wi * m, axis=-1)
+    F, _ = fresnel_dielectric(wi_m, eta)
+    choose_refl = u0 < F
+
+    wo_r = 2.0 * wi_m[..., None] * m - wi
+
+    rel = jnp.where(wi_m > 0.0, eta, 1.0 / eta)     # n_t / n_i
+    eta_r = 1.0 / rel
+    cos2_t = 1.0 - eta_r * eta_r * (1.0 - wi_m * wi_m)
+    cos_t = safe_sqrt(cos2_t)
+    wo_t = eta_r[..., None] * (-wi) + (
+        (eta_r * jnp.abs(wi_m) - cos_t) * jnp.sign(wi_m))[..., None] * m
+
+    wo = jnp.where(choose_refl[..., None], wo_r, wo_t)
+    wo_m = jnp.sum(wo * m, axis=-1)
+    co = _cos(wo)
+    side_ok = jnp.where(choose_refl, (ci * co) > 0.0, (ci * co) < 0.0)
+
+    G = _smith_g1(wi, m, alpha) * _smith_g1(wo, m, alpha)
+    # Walter eq. 41 weight for D|cos m| sampling (F cancels with the
+    # lobe-selection probability)
+    w = jnp.abs(wi_m) * G / jnp.maximum(jnp.abs(ci) * jnp.abs(_cos(m)),
+                                        1e-9)
+    if transport == "radiance":
+        w = jnp.where(choose_refl, w, w / jnp.maximum(rel * rel, 1e-9))
+
+    denom = wi_m + rel * wo_m
+    denom2 = jnp.maximum(denom * denom, 1e-9)
+    pdf = jnp.where(
+        choose_refl,
+        pdf_m * F / jnp.maximum(4.0 * jnp.abs(wo_m), 1e-9),
+        pdf_m * (1.0 - F) * rel * rel * jnp.abs(wo_m) / denom2)
+
+    ok = side_ok & (G > 0.0) & (jnp.where(choose_refl, True, cos2_t > 0.0))
+    weight = albedo * jnp.where(ok, w, 0.0)[..., None]
+    eta_out = jnp.where(choose_refl, 1.0, rel)
+    return wo, weight, pdf, eta_out, ok
+
+
 # ------------------------------- eval --------------------------------------
 
 def eval_bsdf(scene: Scene, bi, wi, wo, transport="radiance"):
@@ -154,12 +243,16 @@ def eval_bsdf(scene: Scene, bi, wi, wo, transport="radiance"):
     f, pdf = sel(btype == BSDF_ROUGH_CONDUCTOR, f_rc, pdf_rc, upper)
     f, pdf = sel(btype == BSDF_PHONG, f_ph, pdf_ph, upper)
     f, pdf = sel(btype == BSDF_PLASTIC, f_pl, pdf_pl, upper)
+    f_rd, pdf_rd = _rough_dielectric_eval(albedo, alpha, eta, wi, wo,
+                                          transport)
+    f, pdf = sel(btype == BSDF_ROUGH_DIELECTRIC, f_rd, pdf_rd,
+                 jnp.ones_like(ci, bool))
     # delta lobes evaluate to zero
     is_delta = ((btype == BSDF_CONDUCTOR) | (btype == BSDF_DIELECTRIC)
                 | (btype == BSDF_NULL))
     f = jnp.where(is_delta[..., None], 0.0, f)
     pdf = jnp.where(is_delta, 0.0, pdf)
-    del same_side, transport
+    del same_side
     return f, pdf
 
 
@@ -261,6 +354,10 @@ def sample_bsdf(scene: Scene, bi, wi, u3, transport="radiance") -> BSDFSample:
                      albedo * (1.0 - Fp)[..., None])
     pdf_pl = jnp.where(pick_s, 0.0, (1.0 - Fp) * pdf_diff)
 
+    # ---- rough dielectric (Walter microfacet transmission) ----
+    wo_rd, w_rd, pdf_rd, eta_rd, _ = _rough_dielectric_sample(
+        albedo, alpha, eta, wi, u0, u2, transport)
+
     # ---- null: pass straight through ----
     wo_null = -wi
     w_null = jnp.ones_like(albedo)
@@ -282,8 +379,8 @@ def sample_bsdf(scene: Scene, bi, wi, u3, transport="radiance") -> BSDFSample:
                           jnp.ones_like(ci, bool), eta_diel),
         BSDF_ROUGH_CONDUCTOR: (wo_rc, w_rc, pdf_rc,
                                jnp.zeros_like(ci, bool), jnp.ones_like(ci)),
-        BSDF_ROUGH_DIELECTRIC: (wo_diel, w_diel, jnp.zeros_like(ci),
-                                jnp.ones_like(ci, bool), eta_diel),
+        BSDF_ROUGH_DIELECTRIC: (wo_rd, w_rd, pdf_rd,
+                                jnp.zeros_like(ci, bool), eta_rd),
         BSDF_PHONG: (wo_ph, w_ph, pdf_ph, jnp.zeros_like(ci, bool),
                      jnp.ones_like(ci)),
         BSDF_PLASTIC: (wo_pl, w_pl, pdf_pl, pick_s, jnp.ones_like(ci)),

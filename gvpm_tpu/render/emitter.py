@@ -113,15 +113,90 @@ def world_center_radius(scene: Scene):
     return c, r
 
 
+def _env_is_map(scene: Scene):
+    """Static: scene carries a real lat-long map (vs constant env)."""
+    return scene.env_map.shape[0] * scene.env_map.shape[1] > 1
+
+
+def _env_texel(scene: Scene, d):
+    """(row, col) texel indices of direction d (toward the environment)
+    in the y-up lat-long parameterization (emitters/envmap.cpp)."""
+    He, We = scene.env_map.shape[:2]
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    phi = jnp.arctan2(d[..., 2], d[..., 0])
+    u = (phi * (0.5 / jnp.pi) + 0.5) % 1.0
+    v = theta / jnp.pi
+    yi = jnp.clip((v * He).astype(jnp.int32), 0, He - 1)
+    xi = jnp.clip((u * We).astype(jnp.int32), 0, We - 1)
+    return yi, xi
+
+
 def env_le(scene: Scene, d):
     """Environment radiance for escaped rays in direction d [N,3]."""
-    return jnp.broadcast_to(scene.env_radiance, d.shape[:-1] + (3,))
+    base = jnp.broadcast_to(scene.env_radiance, d.shape[:-1] + (3,))
+    if not _env_is_map(scene):
+        return base
+    yi, xi = _env_texel(scene, d)
+    return base * scene.env_map[yi, xi]
 
 
-def pdf_env_sa(scene: Scene):
-    """Solid-angle NEE pdf of the environment strategy (uniform sphere),
-    including the env-group pick probability."""
-    return scene.light_group_p[2] * warp.INV_FOURPI
+def pdf_env_sa(scene: Scene, d=None):
+    """Solid-angle NEE pdf of the environment strategy, including the
+    env-group pick probability. Constant env = uniform sphere; a map is
+    sampled per-texel by sin-weighted luminance, uniform in (theta,phi)
+    within the texel, so pdf(d) = lum(L(d)) * sin(theta_row) /
+    (4pi * mean_lum * sin(theta))."""
+    gp = scene.light_group_p[2]
+    if d is None or not _env_is_map(scene):
+        return gp * warp.INV_FOURPI
+    from ..core.spectrum import luminance
+    He = scene.env_map.shape[0]
+    yi, xi = _env_texel(scene, d)
+    lum_t = luminance(scene.env_radiance * scene.env_map[yi, xi])
+    sin_row = jnp.sin((yi.astype(jnp.float32) + 0.5) / He * jnp.pi)
+    sin_d = jnp.maximum(jnp.sqrt(jnp.maximum(1.0 - d[..., 1] ** 2, 0.0)),
+                        1e-4)
+    return gp * lum_t * sin_row / (4.0 * jnp.pi * sin_d
+                                   * jnp.maximum(scene.env_mean_lum, 1e-20))
+
+
+def sample_env_dir(scene: Scene, u2):
+    """Sample a direction TOWARD the environment; returns (d, pdf_sa)
+    where pdf_sa excludes the group pick probability."""
+    if not _env_is_map(scene):
+        d = warp.square_to_uniform_sphere(u2)
+        return d, jnp.full(u2.shape[:-1], warp.INV_FOURPI)
+    from ..core.spectrum import luminance
+    He, We = scene.env_map.shape[:2]
+    i = jnp.clip(jnp.searchsorted(scene.env_row_cdf, u2[..., 0],
+                                  side="right"), 0, He - 1)
+    c_lo = jnp.where(i > 0, scene.env_row_cdf[jnp.maximum(i - 1, 0)], 0.0)
+    seg = jnp.maximum(scene.env_row_cdf[i] - c_lo, 1e-12)
+    vf = jnp.clip((u2[..., 0] - c_lo) / seg, 0.0, 1.0 - 1e-6)
+    rows = scene.env_cond_cdf[i]                              # [N,We]
+    j = jnp.clip(jax.vmap(
+        lambda r, u: jnp.searchsorted(r, u, side="right"))(
+            rows, u2[..., 1]), 0, We - 1)
+    cc_lo = jnp.where(j > 0,
+                      jnp.take_along_axis(
+                          rows, jnp.maximum(j - 1, 0)[..., None],
+                          axis=-1)[..., 0], 0.0)
+    cseg = jnp.maximum(
+        jnp.take_along_axis(rows, j[..., None], axis=-1)[..., 0] - cc_lo,
+        1e-12)
+    uf = jnp.clip((u2[..., 1] - cc_lo) / cseg, 0.0, 1.0 - 1e-6)
+    v = (i.astype(jnp.float32) + vf) / He
+    u = (j.astype(jnp.float32) + uf) / We
+    theta = v * jnp.pi
+    phi = (u - 0.5) * (2.0 * jnp.pi)
+    sin_t = jnp.sin(theta)
+    d = jnp.stack([sin_t * jnp.cos(phi), jnp.cos(theta),
+                   sin_t * jnp.sin(phi)], axis=-1)
+    lum_t = luminance(scene.env_radiance * scene.env_map[i, j])
+    sin_row = jnp.sin((i.astype(jnp.float32) + 0.5) / He * jnp.pi)
+    pdf = lum_t * sin_row / (4.0 * jnp.pi * jnp.maximum(sin_t, 1e-4)
+                             * jnp.maximum(scene.env_mean_lum, 1e-20))
+    return d, pdf
 
 
 # --------------------------------------------------------------------------
@@ -222,13 +297,13 @@ def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
                             li_over_pdf=jnp.zeros((n, 3)), pdf_sa=z,
                             valid=jnp.zeros((n,), bool))
 
-    # --- env branch (uniform sphere direction) ---
+    # --- env branch (constant: uniform sphere; map: luminance CDF) ---
     _, wr = world_center_radius(scene)
-    wl_e = warp.square_to_uniform_sphere(u3[..., 1:3])
+    wl_e, pdf_e = sample_env_dir(scene, u3[..., 1:3])
     dist_e = jnp.full((n,), 2.0) * wr
-    pdf_e_sa = jnp.full((n,), 1.0) * pdf_env_sa(scene)
-    li_over_pdf_e = jnp.broadcast_to(
-        scene.env_radiance, (n, 3)) / jnp.maximum(pdf_e_sa, 1e-20)[..., None]
+    pdf_e_sa = gp[2] * pdf_e
+    li_over_pdf_e = env_le(scene, wl_e) \
+        / jnp.maximum(pdf_e_sa, 1e-20)[..., None]
 
     is_a = (grp == 0)[..., None]
     is_d = (grp == 1)[..., None]
@@ -318,17 +393,18 @@ def sample_photon(scene: Scene, key, n):
         med_de = jnp.full((n,), -1, jnp.int32)
         ok_de = jnp.zeros((n,), bool)
 
-    # --- env: inward uniform-sphere direction from the bounding disk --
-    d_env_out = warp.square_to_uniform_sphere(u2)   # direction TO the env
+    # --- env: inward direction from the bounding disk (constant:
+    # uniform sphere; map: luminance-CDF importance sample) --
+    d_env_out, pdf_env_dir = sample_env_dir(scene, u2)  # TO the env
     d_env = -d_env_out
     disk_e = warp.square_to_uniform_disk(u_disk) * wr
     se, te = coordinate_system(d_env)
     p_env = wc + d_env_out * wr + se * disk_e[..., 0:1] \
         + te * disk_e[..., 1:2]
-    # alpha = L / (pdf_dir * pdf_pos * group_p) = L * 4pi * pi R^2 / gp
-    alpha_env = jnp.broadcast_to(scene.env_radiance, (n, 3)) \
-        * (warp.FOURPI * jnp.pi * wr * wr
-           / jnp.maximum(gp[2], 1e-20))
+    # alpha = L(d) / (pdf_dir * pdf_pos * group_p), pdf_pos = 1/(pi R^2)
+    alpha_env = env_le(scene, d_env_out) \
+        * (jnp.pi * wr * wr
+           / jnp.maximum(pdf_env_dir * gp[2], 1e-20))[..., None]
 
     is_a = (grp == 0)[..., None]
     is_d = (grp == 1)[..., None]

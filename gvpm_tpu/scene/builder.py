@@ -60,6 +60,7 @@ class SceneBuilder:
         self._emitters = []      # radiance rows
         self._delta = []         # delta/infinite emitter rows (dicts)
         self._env = (0.0, 0.0, 0.0)
+        self._env_map = None
         self._het = None         # heterogeneous medium (at most one)
         self._cam = None
         self._cam_medium = NO_MEDIUM
@@ -245,6 +246,15 @@ class SceneBuilder:
         """Constant environment emitter (emitters/constant.cpp)."""
         self._env = tuple(radiance)
 
+    def envmap(self, image, scale=(1.0, 1.0, 1.0)):
+        """Lat-long environment map (emitters/envmap.cpp): image [He,We,3]
+        HDR texels, y-up spherical parameterization, luminance
+        importance-sampled for NEE and photon emission."""
+        img = np.asarray(image, np.float32)
+        assert img.ndim == 3 and img.shape[2] == 3, img.shape
+        self._env_map = img
+        self._env = tuple(scale)
+
     def medium_box(self, lo, hi, medium, bsdf=None):
         """Axis-aligned null-boundary box filled with `medium`."""
         if bsdf is None:
@@ -410,8 +420,34 @@ class SceneBuilder:
             het_maj = 1.0
             het_medium = -1
 
-        env_total = 4.0 * np.pi ** 2 * wr * wr \
-            * float(luminance(jnp.asarray(_v(self._env))))
+        # environment map tables: sin-weighted luminance CDFs over the
+        # lat-long grid (emitters/envmap.cpp importance tables). For the
+        # constant case (1x1 ones) the sampler is a uniform sphere.
+        emap = self._env_map if self._env_map is not None \
+            else np.ones((1, 1, 3), np.float32)
+        He, We = emap.shape[:2]
+        scale_rgb = np.asarray(_v(self._env), np.float32)
+        lum_px = (emap * scale_rgb).astype(np.float64) @ \
+            np.array([0.212671, 0.715160, 0.072169])
+        sin_row = np.sin((np.arange(He) + 0.5) / He * np.pi)
+        wpx = lum_px * sin_row[:, None]
+        row_w = wpx.sum(axis=1)
+        Z = float(row_w.sum())
+        if Z > 0:
+            env_row_cdf = np.cumsum(row_w) / Z
+            wpx_safe = np.where(row_w[:, None] > 0, wpx, 1.0)
+            env_cond_cdf = np.cumsum(wpx_safe, axis=1) \
+                / wpx_safe.sum(axis=1, keepdims=True)
+        else:
+            env_row_cdf = np.linspace(1.0 / He, 1.0, He)
+            env_cond_cdf = np.tile(np.linspace(1.0 / We, 1.0, We), (He, 1))
+        # spherical-mean luminance = Z * dtheta * dphi / 4pi — the pdf
+        # normalizer of emitter.pdf_env_sa
+        env_mean_lum = Z * (np.pi / He) * (2.0 * np.pi / We) / (4.0 * np.pi)
+
+        env_total = 4.0 * np.pi ** 2 * wr * wr * (
+            float(luminance(jnp.asarray(scale_rgb)))
+            if He * We == 1 else env_mean_lum)
         total = area_total + delta_total + env_total
         if total > 0:
             group_p = np.array([area_total, delta_total, env_total],
@@ -459,6 +495,10 @@ class SceneBuilder:
             de_medium=jnp.asarray(de_med),
             de_cdf=jnp.asarray(de_cdf, f32),
             env_radiance=jnp.asarray(_v(self._env), f32),
+            env_map=jnp.asarray(emap, f32),
+            env_row_cdf=jnp.asarray(env_row_cdf, f32),
+            env_cond_cdf=jnp.asarray(env_cond_cdf, f32),
+            env_mean_lum=jnp.asarray(env_mean_lum, f32),
             light_group_p=jnp.asarray(group_p, f32),
             cam_to_world=jnp.asarray(cam_mat, f32),
             cam_tan_half_fov_x=jnp.asarray(

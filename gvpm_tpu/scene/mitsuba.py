@@ -372,7 +372,15 @@ class MitsubaLoader:
             self.b.directional_light(d, p.get("irradiance", (1, 1, 1)))
         elif etype == "constant":
             self.b.constant_env(p.get("radiance", (1, 1, 1)))
-        # sun/sky/envmap: unsupported in round 1 (ignored, logged upstream)
+        elif etype == "envmap":
+            import os
+            from ..utils.exr import read_exr
+            fn = os.path.join(self.dir, p.get("filename", ""))
+            img = read_exr(fn)
+            sc = p.get("scale", 1.0)
+            sc = (sc,) * 3 if not hasattr(sc, "__len__") else tuple(sc)
+            self.b.envmap(img, scale=sc)
+        # sun/sky: unsupported in round 1 (ignored, logged upstream)
 
     def _parse_sensor(self, elem):
         p = _props(elem, self.defaults)

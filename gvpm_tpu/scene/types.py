@@ -108,8 +108,15 @@ class Scene:
     de_medium: jnp.ndarray     # [De] int32 medium containing the emitter
     de_cdf: jnp.ndarray        # [De] power CDF (conditional on delta group)
 
-    # --- environment (constant; emitters/constant.cpp) ---
-    env_radiance: jnp.ndarray  # [3] (zeros = no environment emitter)
+    # --- environment (constant OR lat-long map; emitters/constant.cpp,
+    #     emitters/envmap.cpp) ---
+    env_radiance: jnp.ndarray  # [3] scale (zeros = no environment emitter)
+    env_map: jnp.ndarray       # [He,We,3] lat-long texture; [1,1,3] ones
+                               # = constant environment
+    env_row_cdf: jnp.ndarray   # [He] inclusive CDF over rows, sin-weighted
+    env_cond_cdf: jnp.ndarray  # [He,We] inclusive CDF within each row
+    env_mean_lum: jnp.ndarray  # [] sin-weighted mean map luminance (the
+                               #    pdf normalizer)
 
     # --- group pick probabilities: (area, delta, env), sums to 1 ---
     light_group_p: jnp.ndarray # [3] power share per emitter group

@@ -99,3 +99,105 @@ def test_mitsuba_loader_point_and_constant(tmp_path):
     assert float(scene.env_radiance[0]) == 0.25
     gp = np.asarray(scene.light_group_p)
     assert gp[1] > 0 and gp[2] > 0 and abs(gp.sum() - 1) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# environment map (emitters/envmap.cpp)
+
+
+def _aniso_map():
+    """Strongly anisotropic lat-long HDR map: one hot region."""
+    He, We = 16, 32
+    img = np.full((He, We, 3), 0.02, np.float32)
+    img[3:6, 8:12] = (25.0, 18.0, 5.0)      # bright warm patch high up
+    img[10:12, 24:28] = (0.0, 4.0, 9.0)     # dimmer cool patch low
+    return img
+
+
+def test_envmap_pdf_matches_sampler():
+    """sample_env_dir's returned pdf equals pdf_env_sa at the sampled
+    direction, and the pdf integrates to 1 over the sphere."""
+    import jax
+    from gvpm_tpu.core import warp
+    from gvpm_tpu.render.emitter import pdf_env_sa, sample_env_dir
+    b = SceneBuilder()
+    b.envmap(_aniso_map())
+    b.rectangle([-1, -3, -1], [2, 0, 0], [0, 0, 2], b.diffuse([0.5] * 3))
+    b.camera(origin=[0, 0, -1], target=[0, 0, 0])
+    s = b.build(width=4, height=4)
+    n = 1 << 15
+    u2 = jax.random.uniform(jax.random.key(0), (n, 2))
+    d, pdf = sample_env_dir(s, u2)
+    assert bool(jnp.all(jnp.abs(jnp.linalg.norm(d, axis=-1) - 1) < 1e-4))
+    pdf_eval = pdf_env_sa(s, d) / jnp.maximum(s.light_group_p[2], 1e-20)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf_eval),
+                               rtol=1e-3)
+    # normalization: E_uniform[pdf] * 4pi == 1
+    du = warp.square_to_uniform_sphere(
+        jax.random.uniform(jax.random.key(1), (1 << 17, 2)))
+    mass = float(jnp.mean(pdf_env_sa(s, du)
+                          / jnp.maximum(s.light_group_p[2], 1e-20))
+                 * 4.0 * jnp.pi)
+    assert abs(mass - 1.0) < 0.02, mass
+
+
+def test_envmap_nee_matches_bsdf_sampling():
+    """NEE importance sampling of the map agrees with BSDF-only
+    sampling of the same scene (unbiasedness of pdf/CDF tables)."""
+    def build(nee):
+        b = SceneBuilder()
+        b.envmap(_aniso_map())
+        fl = b.diffuse([0.6] * 3)
+        b.rectangle([-5, 0, -5], [10, 0, 0], [0, 0, 10], fl)
+        b.camera(origin=[0, 1.5, -3], target=[0, 0, 0], fov=60)
+        return b.build(width=16, height=16)
+
+    s = build(True)
+    img_nee = volpath.render(
+        s, VolPathConfig(spp=24, max_depth=3, null_bounces=2, nee=True),
+        seed=0)
+    img_brut = volpath.render(
+        s, VolPathConfig(spp=96, max_depth=3, null_bounces=2, nee=False),
+        seed=1)
+    m_nee = float(jnp.mean(img_nee))
+    m_brut = float(jnp.mean(img_brut))
+    assert m_nee > 0 and np.isfinite(m_nee)
+    assert abs(m_nee / m_brut - 1.0) < 0.2, (m_nee, m_brut)
+
+
+def test_envmap_constant_matches_constant_env():
+    """A uniform map must reproduce the constant-env renderer path."""
+    def build(use_map):
+        b = SceneBuilder()
+        if use_map:
+            b.envmap(np.ones((8, 16, 3), np.float32), scale=(0.8, 0.9, 1.0))
+        else:
+            b.constant_env((0.8, 0.9, 1.0))
+        fl = b.diffuse([0.6] * 3)
+        b.rectangle([-5, 0, -5], [10, 0, 0], [0, 0, 10], fl)
+        b.camera(origin=[0, 1.5, -3], target=[0, 0, 0], fov=60)
+        return b.build(width=12, height=12)
+
+    cfg = VolPathConfig(spp=16, max_depth=3, null_bounces=2)
+    a = volpath.render(build(True), cfg, seed=0)
+    c = volpath.render(build(False), cfg, seed=0)
+    ratio = float(jnp.mean(a)) / float(jnp.mean(c))
+    assert abs(ratio - 1.0) < 0.1, ratio
+
+
+def test_envmap_photon_emission():
+    """Photon emission from the map: light tracer agrees with volpath."""
+    b = SceneBuilder()
+    b.envmap(_aniso_map())
+    fl = b.diffuse([0.6] * 3)
+    b.rectangle([-5, 0, -5], [10, 0, 0], [0, 0, 10], fl)
+    b.camera(origin=[0, 1.5, -3], target=[0, 0, 0], fov=60)
+    s = b.build(width=16, height=16)
+    img = volpath.render(
+        s, VolPathConfig(spp=24, max_depth=3, null_bounces=2), seed=0)
+    lt = lighttrace.render(
+        s, PhotonConfig(max_depth=3, null_bounces=2,
+                        surface_photons=1 << 15, volume_photons=1 << 15),
+        passes=6)
+    m = float(jnp.mean(img))
+    assert abs(float(jnp.mean(lt)) / m - 1) < 0.3, (float(jnp.mean(lt)), m)

@@ -79,6 +79,16 @@ def test_bdpt_matches_volpath(ref):
     assert 0.7 < m / mref < 1.35, (m, mref)
 
 
+def test_erpt_matches_volpath(ref):
+    from gvpm_tpu.integrators import erpt
+    scene, mref = ref
+    cfg = VolPathConfig(spp=1, max_depth=5, null_bounces=2)
+    img = erpt.render(scene, cfg, seed=0, n_chains=2048, n_mutations=24)
+    m = float(jnp.mean(img))
+    assert jnp.isfinite(img).all()
+    assert 0.7 < m / mref < 1.35, (m, mref)
+
+
 def test_pssmlt_matches_volpath(ref):
     scene, mref = ref
     cfg = VolPathConfig(spp=1, max_depth=5, null_bounces=2)

@@ -43,6 +43,19 @@ def reference_image():
     return scene, np.asarray(img)
 
 
+def test_bre_knn_radii_match_global(reference_image):
+    """Per-photon kNN radii (bre.cpp:29-93) keep BRE energy consistent
+    with the global-radius variant."""
+    import dataclasses
+    scene, ref = reference_image
+    cfg = dataclasses.replace(CFG, bre_knn=16)
+    out = sppm.render(scene, cfg, volume="bre", passes=3, seed=3)
+    img = np.asarray(out["image"])
+    assert np.isfinite(img).all()
+    ratio = img.mean() / ref.mean()
+    assert 0.7 < ratio < 1.3, f"bre_knn energy ratio {ratio:.3f}"
+
+
 @pytest.mark.parametrize("volume", ["distance", "bre", "beam1d"])
 def test_sppm_matches_volpath(reference_image, volume):
     scene, ref = reference_image
