@@ -216,6 +216,8 @@ class DirectSample:
     li_over_pdf: jnp.ndarray  # [N,3] radiance-ish / pdf (all factors folded)
     pdf_sa: jnp.ndarray       # [N] solid-angle pdf (0 => delta strategy)
     valid: jnp.ndarray        # [N] bool
+    n_light: jnp.ndarray      # [N,3] light normal (area group; else 0)
+    grp: jnp.ndarray          # [N] emitter group: 0 area, 1 delta, 2 env
 
 
 def _spot_falloff(scene: Scene, k, wl):
@@ -256,7 +258,9 @@ def _sample_direct_delta(scene: Scene, p_from, u):
     return DirectSample(wl=wl, dist=dist, p_light=p_light,
                         li_over_pdf=li_over_pdf,
                         pdf_sa=jnp.zeros_like(dist),
-                        valid=(pmf > 0) & (n_de > 0))
+                        valid=(pmf > 0) & (n_de > 0),
+                        n_light=jnp.zeros_like(wl),
+                        grp=jnp.ones_like(dist, dtype=jnp.int32))
 
 
 def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
@@ -295,7 +299,9 @@ def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
         ds_d = DirectSample(wl=jnp.zeros((n, 3)), dist=z,
                             p_light=jnp.zeros((n, 3)),
                             li_over_pdf=jnp.zeros((n, 3)), pdf_sa=z,
-                            valid=jnp.zeros((n,), bool))
+                            valid=jnp.zeros((n,), bool),
+                            n_light=jnp.zeros((n, 3)),
+                            grp=jnp.ones((n,), jnp.int32))
 
     # --- env branch (constant: uniform sphere; map: luminance CDF) ---
     _, wr = world_center_radius(scene)
@@ -320,7 +326,8 @@ def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
     valid = jnp.where(grp == 0, ok_a,
                       jnp.where(grp == 1, ds_d.valid, gp[2] > 0))
     return DirectSample(wl=wl, dist=dist, p_light=p_light, li_over_pdf=li,
-                        pdf_sa=pdf_sa, valid=valid)
+                        pdf_sa=pdf_sa, valid=valid,
+                        n_light=jnp.where(is_a, es.n, 0.0), grp=grp)
 
 
 # --------------------------------------------------------------------------
