@@ -32,6 +32,10 @@ def build_argparser():
     p.add_argument("--volume", default="distance",
                    choices=["none", "distance", "bre", "beam1d",
                             "beam3d", "plane0d"])
+    p.add_argument("--shift", default="pathspace",
+                   choices=["pathspace", "pss"],
+                   help="G-PT shift: path-space reconnection machine "
+                        "(gpt.cpp:502) or primary-sample-space identity")
     p.add_argument("--passes", type=int, default=16)
     p.add_argument("--spp", type=int, default=32)
     p.add_argument("--photons", type=int, default=65536)
@@ -146,10 +150,17 @@ def main(argv=None):
                 n_mutations=max(8, args.spp))
         elif args.integrator == "gpt":
             cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
-            out = gpt.render(scene, cfg, seed=args.seed,
-                             callback=per_pass,
-                             recon_alpha=args.recon_alpha,
-                             recon_l1=not args.l2)
+            if args.shift == "pathspace":
+                from .integrators import gpt_shift
+                out = gpt_shift.render(scene, cfg, seed=args.seed,
+                                       callback=per_pass,
+                                       recon_alpha=args.recon_alpha,
+                                       recon_l1=not args.l2)
+            else:
+                out = gpt.render(scene, cfg, seed=args.seed,
+                                 callback=per_pass,
+                                 recon_alpha=args.recon_alpha,
+                                 recon_l1=not args.l2)
         elif args.integrator == "sppm":
             cfg = PhotonConfig(max_depth=args.max_depth,
                                surface_photons=args.photons,

@@ -43,9 +43,11 @@ exactly the reference's main/shifted weighting.
 Known deviations (documented, not silent): the offset's NEE segment
 pdf-ratio and reconnection distance-pdf use the medium at the offset
 vertex for the whole segment (exact for the single-homogeneous-medium
-paper scenes); spot-falloff and directional-light geometry ratios for
-shifted NEE are taken as 1; "very direct" light (emitter seen by the
-camera) is excluded from gradients like the reference (-direct buffer).
+paper scenes); the spot-falloff change at the shifted NEE vertex is
+taken as 1 (the point/spot 1/d^2 ratio IS applied; directional/env
+samples have no distance falloff and get ratio 1); "very direct" light
+(emitter seen by the camera) is excluded from gradients like the
+reference (-direct buffer).
 """
 
 from __future__ import annotations
@@ -151,6 +153,14 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
         zp_p=o_o, zp_ns=jnp.zeros((m, 3)), zp_wi=-d_o,
         zp_bsdf=jnp.zeros((m,), jnp.int32), zp_med=jnp.zeros((m,), jnp.int32),
         zp_is_med=jnp.zeros((m,), bool),
+        # fr/pr snapshots at the reconnection parent (taken at vertex
+        # creation, BEFORE that bounce's scatter/replay ratio and any
+        # later null-hop partial-segment ratios are folded in): the
+        # reconnection replaces the parent's direction choice and the
+        # whole following segment, so composing from the running fr/pr
+        # would divide base pre-null factors out twice and keep stale
+        # offset null-segment factors.
+        zp_fr=jnp.ones((m, 3)), zp_pr=jnp.ones((m,)),
         last_pdf=jnp.zeros((m,)), scatter_p=o_o, spec=jnp.ones((m,), bool),
         G=jnp.zeros((m, 3)),
     )
@@ -246,11 +256,11 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
             & (jnp.max(tr_rc, axis=-1) > 0.0) \
             & (jnp.max(f_cos_b4, axis=-1) > 1e-20) \
             & (_t4(b["last_pdf"]) > 1e-20) & (_t4(pdfdist_b) > 1e-20)
-        fr_rc = s["fr"] * _safe_div(f_rc, f_cos_b4) \
+        fr_rc = s["zp_fr"] * _safe_div(f_rc, f_cos_b4) \
             * _safe_div(tr_rc, _t4(tr_b_tot)) \
             * (_safe_div(cosT_rc, _t4(cosT_b), 1e-6)
                * _t4(d2_b) / d2_o)[..., None]
-        pr_rc = s["pr"] * _safe_div(pdf_rc, _t4(b["last_pdf"])) \
+        pr_rc = s["zp_pr"] * _safe_div(pdf_rc, _t4(b["last_pdf"])) \
             * _safe_div(pdfdist_rc, _t4(pdfdist_b)) \
             * _safe_div(cosT_rc, _t4(cosT_b), 1e-6) * _t4(d2_b) / d2_o
 
@@ -353,10 +363,16 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
             ds = sample_direct(scene, p_nee_b, u_nee3)
             f_b_nee, pdf_dir_b = _vertex_scatter(
                 scene, mevt, cur_med, bi, hit.ns, -b["d"], ds.wl)
-            # _vertex_scatter folds sigma_s for media; base thr_med already
-            # has sigma_s -> divide it back out of the medium branch
-            sig_b = jnp.where(mevt[..., None],
-                              jnp.maximum(ms.sigma_s, 1e-20), 1.0)
+            # _vertex_scatter folds the TABLE sigma_s for media; base
+            # thr_med already has the (local) sigma_s -> divide the table
+            # value back out so heterogeneous media keep the pure phase
+            sig_b = jnp.where(
+                mevt[..., None],
+                jnp.maximum(jnp.where(
+                    (cur_med >= 0)[..., None],
+                    scene.med_sigma_s[jnp.clip(
+                        cur_med, 0, scene.med_sigma_s.shape[0] - 1)],
+                    0.0), 1e-20), 1.0)
             f_b_nee = f_b_nee / sig_b
             tr_b_nee = segment_transmittance(scene, p_nee_b, ds.p_light,
                                              cur_med)
@@ -392,10 +408,14 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
                                  1e-6)
             cosl_o = jnp.abs(dot(_t4(ds.n_light), -wl_o))
             grp4 = _t4(ds.grp)
+            # d^2 falloff ratio only for lights whose Li actually falls
+            # off with distance (area, point/spot); directional and env
+            # samples have no 1/d^2 term -> ratio 1
+            f2_4 = _t4(ds.falloff2)
             geom_ratio = jnp.where(
                 grp4 == 0, _safe_div(cosl_o, _t4(cosl_b), 1e-6)
                 * _t4(d2_lb) / d2_lo,
-                jnp.where(grp4 == 1, _t4(d2_lb) / d2_lo, 1.0))
+                jnp.where((grp4 == 1) & f2_4, _t4(d2_lb) / d2_lo, 1.0))
             pdf_sa_o = _t4(ds.pdf_sa) \
                 * jnp.where(grp4 == 0,
                             _safe_div(_t4(cosl_b), cosl_o, 1e-6)
@@ -447,9 +467,10 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
         pr_rc2 = new_pr * _safe_div(prc2, prc2_b)
 
         # parallel replay at the offset's own vertex with the same uniforms
-        bs_o = sample_bsdf(scene, z_bi, wi_loco, u3)
+        bs_o = sample_bsdf(scene, z_bi, wi_loco, _t4(u3))
         wo_o_surf = to_world(ns_o_f, s_axo, t_axo, bs_o.wo)
-        wo_o_med, pdf_o_med = ph.sample_phase(scene, z_med_idx, z_wi, u_ph2)
+        wo_o_med, pdf_o_med = ph.sample_phase(scene, z_med_idx, z_wi,
+                                              _t4(u_ph2))
         rep_surf = live_o & ~adv_ok & _t4(scat_s) & bs_o.valid \
             & _t4(bs.valid) & (bs_o.is_delta == _t4(bs.is_delta)) \
             & (jnp.max(_t4(bs.weight), axis=-1) > 1e-20)
@@ -504,10 +525,12 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
         zp_med2 = jnp.where(scatter_step & live_o, z_med_idx, s["zp_med"])
         zp_ismed2 = jnp.where(scatter_step & live_o, z_is_med,
                               s["zp_is_med"])
+        zp_fr2 = jnp.where(scatter_step[..., None] & live_o[..., None],
+                           new_fr, s["zp_fr"])
+        zp_pr2 = jnp.where(scatter_step & live_o, new_pr, s["zp_pr"])
 
         # ----------------- accumulate gradients ---------------------------
         # shift MIS weight per contribution: 1/(1+pr); failed lanes w=1
-        ok_hit = (st1 != DEAD) | conn
         pr_hit = jnp.where(conn, s["pr"], new_pr)
         w_sh_hit = jnp.where(live_o | conn, 1.0 / (1.0 + pr_hit), 1.0)
         C_s_hit = jnp.where((live_o | conn)[..., None], C_hit_o, 0.0)
@@ -570,7 +593,8 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
         ns_ = dict(st=st2, o=o_o_new, d=d_o_new, med=med_o_new, fr=fr2,
                    pr=pr2, can_connect=can2, zp_p=zp_p2, zp_ns=zp_ns2,
                    zp_wi=zp_wi2, zp_bsdf=zp_bi2, zp_med=zp_med2,
-                   zp_is_med=zp_ismed2, last_pdf=last_pdf_o,
+                   zp_is_med=zp_ismed2, zp_fr=zp_fr2, zp_pr=zp_pr2,
+                   last_pdf=last_pdf_o,
                    scatter_p=scatter_p_o, spec=spec_o2, G=G2)
         out = dict(**{f"b_{k}": v for k, v in nb.items()},
                    **{f"s_{k}": v for k, v in ns_.items()})
@@ -583,13 +607,34 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
     L_dir = state["b_Ld"].reshape(H, W, 3)
     G = state["s_G"].reshape(4, H, W, 3)
 
-    xi = px.reshape(H, W).astype(jnp.int32)
-    yi = py.reshape(H, W).astype(jnp.int32)
-    border = [xi == W - 1, xi == 0, yi == H - 1, yi == 0]
-    Gw = [jnp.where(border[i][..., None], 1.0, 0.5) * G[i] for i in range(4)]
-
-    gx = Gw[RIGHT]
-    gx = gx.at[:, :-1].add(-Gw[LEFT][:, 1:])
-    gy = Gw[DOWN]
-    gy = gy.at[:-1, :].add(-Gw[UP][1:, :])
+    # Each edge (x, x+1) is sampled by two strategies — the forward shift
+    # from x (G[RIGHT]) and the backward shift from x+1 (G[LEFT]) — whose
+    # per-contribution balance weights w = 1/(1+pr) already implement the
+    # pairwise MIS (gpt.cpp main/shifted weighting), so the assembly is a
+    # plain sum: no extra 0.5 (gpt.py's 0.5 IS its MIS weight for the
+    # identity shift, where pr = 1).
+    gx = G[RIGHT]
+    gx = gx.at[:, :-1].add(-G[LEFT][:, 1:])
+    gy = G[DOWN]
+    gy = gy.at[:-1, :].add(-G[UP][1:, :])
     return L_ind + L_dir, gx, gy, L_dir
+
+
+def render(scene: Scene, cfg: VolPathConfig = VolPathConfig(), seed=0,
+           callback=None, recon_alpha=0.2, recon_l1=True, recon_iters=50):
+    """Progressive path-space-shift G-PT: average primal/gradients over
+    spp, screened-Poisson reconstruction of the indirect component, then
+    add the very-direct buffer back (gpt.cpp:2775-2900 -direct handling).
+    """
+    from ..ops import poisson
+    H, W = scene.height, scene.width
+    acc = [jnp.zeros((H, W, 3)) for _ in range(4)]
+    for it in range(cfg.spp):
+        p, gx, gy, direct = render_pass(scene, cfg, seed, it)
+        acc = [acc[0] + p, acc[1] + gx, acc[2] + gy, acc[3] + direct]
+        if callback is not None:
+            callback(it, acc[0] / (it + 1))
+    primal, gx, gy, direct = [a / cfg.spp for a in acc]
+    recon = poisson.solve(primal - direct, gx, gy, alpha=recon_alpha,
+                          iters=recon_iters, l1=recon_l1) + direct
+    return dict(image=recon, primal=primal, gx=gx, gy=gy, direct=direct)

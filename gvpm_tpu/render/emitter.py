@@ -218,6 +218,8 @@ class DirectSample:
     valid: jnp.ndarray        # [N] bool
     n_light: jnp.ndarray      # [N,3] light normal (area group; else 0)
     grp: jnp.ndarray          # [N] emitter group: 0 area, 1 delta, 2 env
+    falloff2: jnp.ndarray     # [N] bool: li carries a 1/d^2 falloff
+                              #     (point/spot yes, directional/env no)
 
 
 def _spot_falloff(scene: Scene, k, wl):
@@ -260,7 +262,8 @@ def _sample_direct_delta(scene: Scene, p_from, u):
                         pdf_sa=jnp.zeros_like(dist),
                         valid=(pmf > 0) & (n_de > 0),
                         n_light=jnp.zeros_like(wl),
-                        grp=jnp.ones_like(dist, dtype=jnp.int32))
+                        grp=jnp.ones_like(dist, dtype=jnp.int32),
+                        falloff2=~is_dir)
 
 
 def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
@@ -301,7 +304,8 @@ def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
                             li_over_pdf=jnp.zeros((n, 3)), pdf_sa=z,
                             valid=jnp.zeros((n,), bool),
                             n_light=jnp.zeros((n, 3)),
-                            grp=jnp.ones((n,), jnp.int32))
+                            grp=jnp.ones((n,), jnp.int32),
+                            falloff2=jnp.zeros((n,), bool))
 
     # --- env branch (constant: uniform sphere; map: luminance CDF) ---
     _, wr = world_center_radius(scene)
@@ -327,7 +331,9 @@ def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
                       jnp.where(grp == 1, ds_d.valid, gp[2] > 0))
     return DirectSample(wl=wl, dist=dist, p_light=p_light, li_over_pdf=li,
                         pdf_sa=pdf_sa, valid=valid,
-                        n_light=jnp.where(is_a, es.n, 0.0), grp=grp)
+                        n_light=jnp.where(is_a, es.n, 0.0), grp=grp,
+                        falloff2=jnp.where(grp == 1, ds_d.falloff2,
+                                           grp == 0))
 
 
 # --------------------------------------------------------------------------
