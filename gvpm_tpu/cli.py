@@ -175,7 +175,9 @@ def main(argv=None):
             else:
                 out = sppm.render(scene, cfg, volume=args.volume,
                                   seed=args.seed, passes=args.passes,
-                                  callback=per_pass)
+                                  callback=per_pass,
+                                  checkpoint_path=args.checkpoint,
+                                  checkpoint_every=args.checkpoint_every)
         elif args.integrator == "gvpm":
             cfg = GradientConfig(max_depth=args.max_depth,
                                  surface_photons=args.photons,
@@ -186,9 +188,16 @@ def main(argv=None):
                                  recon_l1=not args.l2)
             out = gvpm.render(scene, cfg, volume=args.volume,
                               seed=args.seed, passes=args.passes,
-                              callback=per_pass)
+                              callback=per_pass,
+                              checkpoint_path=args.checkpoint,
+                              checkpoint_every=args.checkpoint_every)
     except KeyboardInterrupt:
         log.info("stopped (time budget or interrupt)")
+
+    from .core.logging import StatsCounter
+    if StatsCounter.REGISTRY:
+        log.info("statistics (Statistics::printStats analog):")
+        StatsCounter.print_stats()
 
     dest = args.output
     img = np.asarray(out.get("image"))

@@ -53,6 +53,10 @@ class PhotonConfig(PathConfig):
     max_cam_depth: int = 8            # camera path budget to 1st diffuse GP
     beam_tile: int = 256              # beam tile size for beam/plane scans
     vol_segments_per_pixel: int = 2   # compacted medium-segment budget
+    gather_q_tile: int = 256          # queries per gather_dense chunk
+                                      # (lax.map serializes chunks: big
+                                      # tiles keep the TPU busy, small
+                                      # ones bound CPU-host memory)
     bre_knn: int = 0                  # per-photon BRE radii from local
                                       # density, ~breInitSize kNN (bre.cpp:29)
                                       # 0 = single global radius
@@ -66,5 +70,7 @@ class GradientConfig(PhotonConfig):
     recon_iters: int = 50             # CG iterations
     recon_irls_iters: int = 4         # IRLS outer iterations
     shift_null: bool = False          # nullShift MIS debug mode
-    use_manifold: bool = True
+    use_manifold: bool = True         # ME shift for delta parent chains
     max_manifold_iterations: int = 5
+    me_pair_budget: int = 4096        # compacted (query,photon) ME pairs
+                                      # per gather (overflow -> unilateral)

@@ -36,7 +36,7 @@ from ..ops import hashgrid, poisson
 from ..render import medium as med
 from ..render import phase as phmod
 from ..render.bsdf import eval_bsdf
-from . import estimators, gatherpoint, ptracer, shift, sppm
+from . import estimators, gatherpoint, gradient_gather, ptracer, shift, sppm
 from ..scene.types import Scene
 
 INV_PI = 1.0 / jnp.pi
@@ -308,7 +308,11 @@ def assemble_gradients(primal_px, S_px, W_px, H, W_img):
 @functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
 def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 seed, it, surf_scale, vol_scale, r_vol_base):
-    """One gradient pass. Returns (primal, gx, gy) images [H,W,3]."""
+    """One gradient pass. Returns (primal, gx, gy, stats): images
+    [H,W,3] plus stats = {visits, shift_ok}: the number of real photon
+    visits (candidates passing the kernel test — the honest bench
+    denominator) and of successful reconnection shifts (the reference's
+    per-pass shift success StatsCounter, shift_volume_photon.cpp:40-47)."""
     H, W = scene.height, scene.width
     n = H * W
     k_cam = rng.pass_key(seed, it, rng.STREAM_CAMERA)
@@ -341,24 +345,32 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
                     med=cd.med, thr=cd.thr)
 
-    # ---- surface ----
+    # ---- surface (dense planar path, gradient_gather.py) ----
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
     surf_valid = photons["vtype"] == ptracer.VERT_SURFACE
-    cell = jnp.maximum(jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
-    grid_s = hashgrid.build(pp, surf_valid, scene.world_lo, cell,
-                            hash_size=cfg.grid_hash_size)
-    p_s, S_s, W_s = surface_gradient_gather(
-        scene, base_s, sgps, grid_s, pp, photons, n_photons, border,
-        max_per_cell=cfg.grid_max_photons_per_cell)
+    cell = 2.0 * jnp.maximum(
+        jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
+    packed = gradient_gather.pack_photons(scene, photons)
+    grid_s, packed_s = hashgrid.build_sorted(
+        pp, surf_valid, scene.world_lo, cell, packed,
+        hash_size=cfg.grid_hash_size)
+    p_s, S_s, W_s, v_s, so_s = gradient_gather.surface_gather(
+        scene, base_s, sgps, grid_s, packed_s, n_photons, border,
+        max_per_cell=cfg.grid_max_photons_per_cell,
+        q_tile=cfg.gather_q_tile,
+        use_manifold=cfg.use_manifold, me_budget=cfg.me_pair_budget,
+        pv_chain=photons)
+    visits = jnp.sum(v_s)
+    shift_ok = jnp.sum(so_s)
 
     # ---- volume (VPM distance | BRE) ----
     if volume in ("distance", "bre"):
         r_vol = r_vol_base * vol_scale
         med_valid = photons["vtype"] == ptracer.VERT_MEDIUM
-        cell = r_vol if volume == "distance" else 2.0 * r_vol
-        grid_v = hashgrid.build(pp, med_valid, scene.medium_lo, cell,
-                                hash_size=cfg.grid_hash_size)
+        grid_v, packed_v = hashgrid.build_sorted(
+            pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed,
+            hash_size=cfg.grid_hash_size)
 
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
@@ -367,16 +379,23 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         border_lane = jnp.stack([jnp.tile(border[i], n_steps)
                                  for i in range(4)])
         if volume == "distance":
-            p_v, S_v, W_v = volume_gradient_gather(
-                scene, cb, scb_list, grid_v, pp, photons, n_photons,
-                r_vol, k_gather, lane, border_lane,
+            p_v, S_v, W_v, v_v, so_v = gradient_gather.volume_gather(
+                scene, cb, scb_list, grid_v, packed_v, n_photons,
+                r_vol, k_gather, border_lane,
                 n_samples=cfg.volume_samples,
-                max_per_cell=cfg.grid_max_photons_per_cell)
+                max_per_cell=cfg.grid_max_photons_per_cell,
+                q_tile=cfg.gather_q_tile,
+                use_manifold=cfg.use_manifold,
+                me_budget=cfg.me_pair_budget,
+                pv_chain=photons)
         else:
-            p_v, S_v, W_v = volume_gradient_bre(
-                scene, cb, scb_list, grid_v, pp, photons, n_photons,
+            p_v, S_v, W_v, v_v, so_v = gradient_gather.bre_gather(
+                scene, cb, scb_list, grid_v, packed_v, n_photons,
                 r_vol, border_lane,
-                max_per_cell=cfg.grid_max_photons_per_cell)
+                max_per_cell=cfg.grid_max_photons_per_cell,
+                q_tile=cfg.gather_q_tile)
+        visits = visits + jnp.sum(v_v)
+        shift_ok = shift_ok + jnp.sum(so_v)
         # splat per-segment results back to pixel lanes
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -454,12 +473,24 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         S_s = S_s.at[i].add(w * em_ok)
         W_s = W_s.at[i].add(w * base.emission)
 
-    return assemble_gradients(p_s, S_s, W_s, H, W)
+    primal, gx, gy = assemble_gradients(p_s, S_s, W_s, H, W)
+    return primal, gx, gy, dict(visits=visits, shift_ok=shift_ok)
 
 
 def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
-           volume="distance", seed=0, passes=None, callback=None):
-    """Progressive G-VPM loop + screened-Poisson reconstruction."""
+           volume="distance", seed=0, passes=None, callback=None,
+           checkpoint_path=None, checkpoint_every=10):
+    """Progressive G-VPM loop + screened-Poisson reconstruction.
+
+    checkpoint_path: if set, the accumulation state is written atomically
+    every `checkpoint_every` passes and the loop RESUMES from an existing
+    checkpoint (the reference restarts from pass 1 on a kill, SURVEY §5.4
+    — here the whole state is four arrays and two scalars).
+    Per-pass shift success rates feed StatsCounter (the reference's
+    behavioral regression signal, shift_volume_photon.cpp:40-47).
+    """
+    from ..core.logging import StatsCounter, log
+    from ..utils import checkpoint as ckpt
     n_passes = passes if passes is not None else cfg.max_passes
     n_photons = max(cfg.volume_photons, cfg.surface_photons)
     r_vol_base = sppm.base_volume_radius(scene, cfg)
@@ -470,14 +501,41 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
     acc_gx = jnp.zeros((H, W, 3))
     acc_gy = jnp.zeros((H, W, 3))
     surf_scale, vol_scale = 1.0, 1.0
-    for it in range(n_passes):
-        p, gx, gy = render_pass(scene, cfg, volume, n_photons, seed, it,
-                                surf_scale, vol_scale, r_vol_base)
+    it0 = 0
+    if checkpoint_path:
+        state = ckpt.load(checkpoint_path)
+        if state is not None:
+            it0, bufs, scal = state
+            it0 += 1
+            acc_p = jnp.asarray(bufs["acc_p"])
+            acc_gx = jnp.asarray(bufs["acc_gx"])
+            acc_gy = jnp.asarray(bufs["acc_gy"])
+            surf_scale = scal["surf_scale"]
+            vol_scale = scal["vol_scale"]
+            log.info("resumed from %s at pass %d", checkpoint_path, it0)
+
+    c_visits = StatsCounter.REGISTRY.get("gvpm/photon_visits") \
+        or StatsCounter("gvpm/photon_visits", "value")
+    c_shift = StatsCounter.REGISTRY.get("gvpm/shift_success") \
+        or StatsCounter("gvpm/shift_success", "percentage")
+
+    for it in range(it0, n_passes):
+        p, gx, gy, stats = render_pass(scene, cfg, volume, n_photons,
+                                       seed, it, surf_scale, vol_scale,
+                                       r_vol_base)
         acc_p, acc_gx, acc_gy = acc_p + p, acc_gx + gx, acc_gy + gy
+        v = int(stats["visits"])
+        c_visits.add(v)
+        c_shift.add(int(stats["shift_ok"]), max(4 * v, 1))
         ratio = sppm.radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
         if dim > 0:
             vol_scale *= ratio ** (1.0 / dim)
+        if checkpoint_path and ((it + 1) % checkpoint_every == 0
+                                or it == n_passes - 1):
+            ckpt.save(checkpoint_path, it,
+                      dict(acc_p=acc_p, acc_gx=acc_gx, acc_gy=acc_gy),
+                      dict(surf_scale=surf_scale, vol_scale=vol_scale))
         if callback is not None:
             callback(it, acc_p / (it + 1))
 

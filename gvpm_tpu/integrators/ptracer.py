@@ -54,8 +54,13 @@ class LightVertices:
                           #        pointing FROM prev vertex TO this one)
     alpha: jnp.ndarray    # [.,3] power arriving at the vertex
     med: jnp.ndarray      # int32 medium at the vertex (-1 at surfaces)
+    seg_med: jnp.ndarray  # int32 medium TRAVERSED on the segment arriving
+                          #       here (what transmittance was paid in)
     bsdf: jnp.ndarray     # int32 bsdf at surface vertices (-1 else)
     ns: jnp.ndarray       # [.,3] shading normal (surface only)
+    prim: jnp.ndarray     # int32 primitive id (surface only; -1 else) —
+                          #       the ME shift retraces specular chains
+                          #       against these prims (manifold.py)
     path: jnp.ndarray     # int32 path id (lane)
     depth: jnp.ndarray    # int32 scatter count at this vertex (1 = first)
     # ---- shift caches: parent vertex + base-segment quantities ----
@@ -73,6 +78,10 @@ class LightVertices:
                                #     (incl. null-crossing failure factors)
     reconnectable: jnp.ndarray # [.] bool: parent admits a reconnection
                                #     shift (diffuse-like / medium / emitter)
+    parent_idx: jnp.ndarray    # [.] int32 FLAT index (step*P + lane) of the
+                               #     parent's own vertex record; -1 when the
+                               #     parent is the emitter. Chain walks for
+                               #     the manifold shift follow these.
 
 
 @flax.struct.dataclass
@@ -118,13 +127,15 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
         pp_bsdf=jnp.full((n,), -1, jnp.int32), pp_med=em["med"],
         pp_scatter=em["scatter"],
         pp_pdf_dir=em["pdf_dir"], pp_reconn=em["reconnectable"],
+        pp_idx=jnp.full((n,), -1, jnp.int32),
         seg_tr=jnp.ones((n, 3)), seg_pdffail=jnp.ones((n,)),
     )
     step_keys = jax.random.split(k_walk, n_steps)
 
     from ..scene.intersect import intersect
 
-    def body(state, k):
+    def body(carry, k):
+        state, step_i = carry
         k_med, k_scat, k_rr = jax.random.split(k, 3)
         o, d, cur_med = state["o"], state["d"], state["med"]
         alpha, active = state["alpha"], state["active"]
@@ -168,8 +179,10 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
             wi=d,
             alpha=jnp.where(mevt[..., None], alpha_in_med, alpha_in_surf),
             med=jnp.where(mevt, cur_med, -1),
+            seg_med=cur_med,
             bsdf=jnp.where(store_surf, bi, -1).astype(jnp.int32),
             ns=hit.ns,
+            prim=jnp.where(store_surf, hit.prim, -1).astype(jnp.int32),
             path=jnp.arange(n, dtype=jnp.int32),
             depth=state["depth"] + 1,
             parent_p=state["pp_p"], parent_type=state["pp_type"],
@@ -180,6 +193,7 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
             pdf_dist_base=state["seg_pdffail"] * jnp.where(
                 mevt, ms.pdf_success, ms.pdf_failure),
             reconnectable=state["pp_reconn"],
+            parent_idx=state["pp_idx"],
         )
 
         # --- continue the walk ---
@@ -258,6 +272,8 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
                            jnp.where(mevt, pdf_phase, bs.pdf)),
             pp_reconn=upd(state["pp_reconn"],
                           jnp.where(mevt, True, reconn_surf)),
+            pp_idx=upd(state["pp_idx"],
+                       step_i * n + jnp.arange(n, dtype=jnp.int32)),
             seg_tr=jnp.where(stored[..., None], 1.0,
                              jnp.where(null_cross[..., None],
                                        seg_tr_full, state["seg_tr"])),
@@ -267,9 +283,9 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
                           state["seg_pdffail"] * ms.pdf_failure,
                           state["seg_pdffail"])),
         )
-        return new_state, (vert, beam)
+        return (new_state, step_i + 1), (vert, beam)
 
-    _, (verts, beams) = lax.scan(body, state, step_keys)
+    _, (verts, beams) = lax.scan(body, (state, jnp.int32(0)), step_keys)
     return (LightVertices(**verts), LightBeams(**beams))
 
 

@@ -172,11 +172,15 @@ def render_pass(scene: Scene, cfg: PhotonConfig, volume, n_photons,
 
 
 def render(scene: Scene, cfg: PhotonConfig = PhotonConfig(),
-           volume="distance", seed=0, passes=None, callback=None):
+           volume="distance", seed=0, passes=None, callback=None,
+           checkpoint_path=None, checkpoint_every=10):
     """Progressive APA render loop (host driver).
 
-    Returns dict(image=[H,W,3] averaged, passes=n).
+    Returns dict(image=[H,W,3] averaged, passes=n). checkpoint_path:
+    atomic NPZ save every `checkpoint_every` passes + resume (see
+    gvpm.render).
     """
+    from ..utils import checkpoint as ckpt
     n_passes = passes if passes is not None else cfg.max_passes
     n_photons = max(cfg.volume_photons, cfg.surface_photons)
     r_vol_base = base_volume_radius(scene, cfg)
@@ -184,7 +188,16 @@ def render(scene: Scene, cfg: PhotonConfig = PhotonConfig(),
 
     accum = jnp.zeros((scene.height, scene.width, 3))
     surf_scale, vol_scale = 1.0, 1.0
-    for it in range(n_passes):
+    it0 = 0
+    if checkpoint_path:
+        state = ckpt.load(checkpoint_path)
+        if state is not None:
+            it0, bufs, scal = state
+            it0 += 1
+            accum = jnp.asarray(bufs["accum"])
+            surf_scale = scal["surf_scale"]
+            vol_scale = scal["vol_scale"]
+    for it in range(it0, n_passes):
         img = render_pass(scene, cfg, volume, n_photons, seed, it,
                           surf_scale, vol_scale, r_vol_base)
         accum = accum + img
@@ -193,6 +206,10 @@ def render(scene: Scene, cfg: PhotonConfig = PhotonConfig(),
         surf_scale *= ratio ** 0.5
         if dim > 0:
             vol_scale *= ratio ** (1.0 / dim)
+        if checkpoint_path and ((it + 1) % checkpoint_every == 0
+                                or it == n_passes - 1):
+            ckpt.save(checkpoint_path, it, dict(accum=accum),
+                      dict(surf_scale=surf_scale, vol_scale=vol_scale))
         if callback is not None:
             callback(it, accum / (it + 1))
     return dict(image=accum / n_passes, passes=n_passes)

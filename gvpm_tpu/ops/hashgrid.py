@@ -32,9 +32,12 @@ class HashGrid:
     cell_size: jnp.ndarray    # []
     sorted_idx: jnp.ndarray   # [P] photon index ordered by bucket
     cell_key: jnp.ndarray     # [P] bucket of each *sorted* photon
-    cell_of: jnp.ndarray      # [P,3] int32 cell coords per photon (unsorted)
+    cell_of: jnp.ndarray      # [P,3] int32 cell coords per photon (unsorted;
+                              #       SORTED order when identity_order)
     bucket_start: jnp.ndarray  # [H+1]
     hash_size: int = flax.struct.field(pytree_node=False, default=1 << 18)
+    identity_order: bool = flax.struct.field(pytree_node=False,
+                                             default=False)
 
 
 def _cell_coords(origin, cell_size, p):
@@ -62,6 +65,44 @@ def build(positions, valid, origin, cell_size, hash_size=1 << 18):
                     hash_size=hash_size)
 
 
+def build_sorted(positions, valid, origin, cell_size, payload,
+                 hash_size=1 << 18, max_rows=0):
+    """build() + payload permutation into grid order.
+
+    TPU gathers with random indices are the hot cost of the dense query
+    path (one slow HBM gather PER FIELD per candidate tile). Permuting
+    every queried field into bucket order ONCE (a [P]-sized gather per
+    field) makes candidate slots index payload rows DIRECTLY
+    (identity_order grids skip the sorted_idx indirection in
+    gather_dense) and photons of one cell occupy CONSECUTIVE rows, so
+    the per-tile gathers hit contiguous memory.
+
+    max_rows > 0 additionally slices the sorted tables to that many
+    rows: invalid photons sort to the END (overflow bucket), so this
+    only drops real photons when the valid count exceeds the budget
+    (caller's responsibility to size it; bucket_start is clamped so
+    truncated cells stay consistent).
+
+    Returns (grid, payload_sorted) — payload is a pytree of [P, ...]
+    arrays; query results index into the SORTED order.
+    """
+    g = build(positions, valid, origin, cell_size, hash_size)
+    payload_sorted = jax.tree_util.tree_map(lambda a: a[g.sorted_idx],
+                                            payload)
+    cell_sorted = g.cell_of[g.sorted_idx]
+    sorted_idx = g.sorted_idx
+    bucket_start = g.bucket_start
+    if max_rows and max_rows < positions.shape[0]:
+        payload_sorted = jax.tree_util.tree_map(
+            lambda a: a[:max_rows], payload_sorted)
+        cell_sorted = cell_sorted[:max_rows]
+        sorted_idx = sorted_idx[:max_rows]
+        bucket_start = jnp.minimum(bucket_start, max_rows)
+    return g.replace(cell_of=cell_sorted, sorted_idx=sorted_idx,
+                     bucket_start=bucket_start,
+                     identity_order=True), payload_sorted
+
+
 def gather(grid: HashGrid, x, fold, init, max_per_cell=32,
            compensate_overflow=True):
     """Fold over all photons whose cell is within the 27-neighborhood of x.
@@ -79,6 +120,8 @@ def gather(grid: HashGrid, x, fold, init, max_per_cell=32,
     silently drop energy; the count is per hash *bucket*, exact up to
     rare hash collisions at sane load factors.
     """
+    assert not grid.identity_order, \
+        "fold gather expects an unsorted-payload grid (use build())"
     qcell = _cell_coords(grid.origin, grid.cell_size, x)  # [Q,3]
     carry = init
     for off in NEIGHBOR_OFFSETS:
@@ -170,7 +213,10 @@ def gather_dense(grid: HashGrid, x, eval_fn, max_per_cell=32,
         slots = start[:, :, None] + ks[None, None, :]          # [Qt,27,K]
         ok = ks[None, None, :] < count[:, :, None]
         slots = jnp.clip(slots, 0, P - 1)
-        idx = grid.sorted_idx[slots]
+        if grid.identity_order:
+            idx = slots        # payload pre-permuted into grid order
+        else:
+            idx = grid.sorted_idx[slots]
         ok = ok & jnp.all(grid.cell_of[idx] == ncell[:, :, None, :],
                           axis=-1)
         ok = ok & vq[:, None, None]

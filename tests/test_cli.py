@@ -27,3 +27,28 @@ def test_scene_registry():
         s = scenes.get(name, width=8, height=8)
         assert s.n_tris > 0
         assert s.em_prim.shape[0] > 0, name
+
+
+def test_checkpoint_resume(tmp_path):
+    """--checkpoint round-trips: a run killed mid-way resumes and matches
+    an uninterrupted run exactly (same seeds per pass)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gvpm_tpu.core.config import PhotonConfig
+    from gvpm_tpu.integrators import sppm
+    from tests.test_sppm import make_box_scene
+
+    scene = make_box_scene(w=8, h=8)
+    cfg = PhotonConfig(max_depth=4, max_cam_depth=4, surface_photons=2048,
+                       volume_photons=2048, grid_hash_size=1 << 12,
+                       volume_samples=1)
+    ck = str(tmp_path / "state.npz")
+    full = sppm.render(scene, cfg, passes=4, seed=5)["image"]
+    # run only 2 passes (checkpoint_every=2 -> saved at pass 2), then
+    # "crash" and resume to 4
+    sppm.render(scene, cfg, passes=2, seed=5, checkpoint_path=ck,
+                checkpoint_every=2)
+    out = sppm.render(scene, cfg, passes=4, seed=5, checkpoint_path=ck,
+                      checkpoint_every=2)["image"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(full),
+                               rtol=1e-5, atol=1e-7)
