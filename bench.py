@@ -54,8 +54,12 @@ def main():
             max_depth=12, null_bounces=6, max_cam_depth=6,
             surface_photons=n_photons, volume_photons=n_photons,
             grid_hash_size=1 << 20, volume_samples=2,
+            # gather-dominated regime: ~20 medium photons per 3D kernel
+            # (classic PM occupancy; the paper's late-pass radii are
+            # smaller, where rendering is trace-bound, not gather-bound)
+            initial_scale_volume=0.4,
             grid_max_photons_per_cell=32, gather_q_tile=2048,
-            use_manifold=False)
+            vol_segments_per_pixel=2, use_manifold=False)
     else:
         side, n_photons, passes = 64, 1 << 14, 2
         cfg = GradientConfig(

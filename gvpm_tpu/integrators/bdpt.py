@@ -53,8 +53,8 @@ def _scatter_eval(scene, vtype, bsdf, medidx, ns, wi_prop, wo,
     wo: outgoing direction (vertex -> next). Value excludes cosines for
     media (none) and includes |cos_out| for surfaces.
     """
-    # surface
-    nsf = ns * jnp.sign(dot(ns, -wi_prop, keepdims=True))
+    # surface (true normal; BSDF evals are sign-aware)
+    nsf = ns
     s_ax, t_ax = coordinate_system(nsf)
     wi_loc = to_local(nsf, s_ax, t_ax, -wi_prop)
     wo_loc = to_local(nsf, s_ax, t_ax, wo)
@@ -146,7 +146,7 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
         # --- scatter ---
         u2 = jax.random.uniform(k_scat, (n, 2))
         wo_med, pdf_phase = ph.sample_phase(scene, cur_med, -d, u2)
-        nsf = hit.ns * jnp.sign(dot(hit.ns, -d, keepdims=True))
+        nsf = hit.ns  # true normal: dielectric needs the side sign
         s_ax, t_ax = coordinate_system(nsf)
         wi_loc = to_local(nsf, s_ax, t_ax, -d)
         u3 = jax.random.uniform(k_scat, (n, 3))

@@ -116,7 +116,7 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
 
         found = alive_hit & diffuse_like & ~is_null
 
-        ns = hit.ns * jnp.sign(dot(hit.ns, -d, keepdims=True))
+        ns = hit.ns  # true normal (sign-aware BSDF evals)
         gp = state["gp"]
         new_gp = dict(
             valid=jnp.where(found, True, gp["valid"]),

@@ -95,8 +95,8 @@ def _vertex_scatter(scene, is_med, med_idx, bi, ns, wi, wo):
     wi points AWAY from the vertex toward the previous vertex; wo toward
     the next. Returns (value [..,3], pdf [..]).
     """
-    # surface branch
-    nsf = ns * jnp.sign(dot(ns, wi, keepdims=True))
+    # surface branch (true normal; BSDF evals are sign-aware)
+    nsf = ns
     s_ax, t_ax = coordinate_system(nsf)
     wi_loc = to_local(nsf, s_ax, t_ax, wi)
     wo_loc = to_local(nsf, s_ax, t_ax, wo)
@@ -203,7 +203,7 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
         # base vertex y1 (event position) + its classification
         y1 = jnp.where(mevt[..., None], ms.p, hit.p)
         y1_diffuse = mevt | (scat_s & is_diffuse_like(scene, bi))
-        ns_b = hit.ns * jnp.sign(dot(hit.ns, -b["d"], keepdims=True))
+        ns_b = hit.ns  # true normal: dielectric needs the side sign
         s_axb, t_axb = coordinate_system(ns_b)
         wi_locb = to_local(ns_b, s_axb, t_axb, -b["d"])
 
@@ -312,7 +312,7 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
         z_med_idx = s["med"]
         z_diffuse = z_is_med | (~z_is_med & is_diffuse_like(scene, z_bi)
                                 & ~(null_o & ~adv_ok))
-        ns_o_f = z_ns * jnp.sign(dot(z_ns, z_wi, keepdims=True))
+        ns_o_f = z_ns
         s_axo, t_axo = coordinate_system(ns_o_f)
         wi_loco = to_local(ns_o_f, s_axo, t_axo, z_wi)
 

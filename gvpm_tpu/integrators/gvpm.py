@@ -375,9 +375,18 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
         n_steps = cam_beams.valid.shape[0]
-        lane = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
-        border_lane = jnp.stack([jnp.tile(border[i], n_steps)
-                                 for i in range(4)])
+        lane_full = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
+        # compact valid medium segments to a fixed per-pixel budget —
+        # most camera paths have 1-2 medium segments out of the
+        # max_cam_depth slots, and every dead lane still costs a full
+        # stencil*K candidate tile in the gather
+        budget = min(cb["valid"].shape[0], n * cfg.vol_segments_per_pixel)
+        order = jnp.argsort(~cb["valid"])[:budget]
+        cb = {kk: vv[order] for kk, vv in cb.items()}
+        scb_list = [{kk: vv[order] for kk, vv in s.items()}
+                    for s in scb_list]
+        lane = lane_full[order]
+        border_lane = jnp.stack([border[i][lane] for i in range(4)])
         if volume == "distance":
             p_v, S_v, W_v, v_v, so_v = gradient_gather.volume_gather(
                 scene, cb, scb_list, grid_v, packed_v, n_photons,

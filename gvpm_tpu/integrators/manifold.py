@@ -44,6 +44,18 @@ from . import shift
 
 K_MAX = 3          # maximum specular chain length (paper scenes need <= 2)
 NEWTON_EPS = 1e-4  # residual tolerance, relative to scene scale
+MAX_STEP = 0.15    # trust-region bound per Newton step (tangent units)
+FOLD_EPS = 3e-3    # dimensionless Jacobian floor: |dX/d(omega,t)| / t^2.
+                   # Near caustic FOLDS the manifold determinant -> 0 and
+                   # the rho ratio is numerically meaningless; such lanes
+                   # fall to the unilateral weight (the reference kills
+                   # invalid Jacobians, shift_volume_photon.cpp:218-222)
+MAX_DEV = 0.35     # max total direction-parameter deviation: near
+                   # caustic folds the inverse map is multi-valued and an
+                   # unbounded Newton jumps to a DIFFERENT chain solution
+                   # (wrong ratios with a converged residual); the
+                   # reference bounds its walk the same way
+                   # (mut_manifold.cpp step-size control)
 
 
 # --------------------------------------------------------------------------
@@ -337,6 +349,11 @@ def me_shift_volume(scene: Scene, ch, c_target, n_iters=5,
             Jinv = jnp.linalg.inv(
                 jnp.where(jnp.abs(det) > 1e-18, J, jnp.eye(3)))
             du = Jinv @ r
+            # trust region on the direction parameters (du[2] is the
+            # free-flight distance, scene-scaled — leave it unclamped)
+            dn = jnp.sqrt(du[0] ** 2 + du[1] ** 2)
+            lim = jnp.minimum(1.0, MAX_STEP / jnp.maximum(dn, 1e-12))
+            du = du * jnp.array([lim, lim, 1.0])
             ok_step = jnp.abs(det) > 1e-18
             return jnp.where(ok_step, u - du, u), None
 
@@ -345,7 +362,8 @@ def me_shift_volume(scene: Scene, ch, c_target, n_iters=5,
         # exit direction = incident direction at the shifted photon
         ep2, ed2, _, _, _, _ = _retrace(scene, chl, w1)
         r = jnp.linalg.norm(c_fin - ct)
-        conv = r < NEWTON_EPS * scene_scale
+        conv = (r < NEWTON_EPS * scene_scale) \
+            & (jnp.sqrt(u[0] ** 2 + u[1] ** 2) < MAX_DEV)
         # geometric expansion |dc/d(a,b,t)| at the solution and at base
         J_off = Jfn(u)
         J_base = Jfn(jnp.array([0.0, 0.0, chl["t_last"]]))
@@ -409,9 +427,11 @@ def me_shift_volume(scene: Scene, ch, c_target, n_iters=5,
         * rho_ratio[..., None]
     pdf_ratio = pdf_dir_ratio * pdf_chain_ratio * pdf_dist_ratio \
         * rho_ratio
+    t2 = jnp.maximum(t_off, 1e-3) ** 2
+    t2b = jnp.maximum(ch["t_last"], 1e-3) ** 2
     ok = (ch["ok"] & conv & ok_b & ok_an
           & (ch["pdf_dir_base"] > 1e-20) & (pdf_new > 0.0)
-          & (rho_off > 1e-20) & (rho_base > 1e-20))
+          & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
     return (jnp.where(ok[..., None], alpha_ratio, 0.0),
             jnp.where(ok, pdf_ratio, 0.0), ok, wi_new)
 
@@ -484,12 +504,15 @@ def me_shift_surface(scene: Scene, ch, photon_prim, photon_ns,
             dsafe = jnp.where(inv_ok, det, 1.0)
             du = jnp.array([(J[1, 1] * r[0] - J[0, 1] * r[1]) / dsafe,
                             (-J[1, 0] * r[0] + J[0, 0] * r[1]) / dsafe])
+            dn = jnp.linalg.norm(du)
+            du = du * jnp.minimum(1.0, MAX_STEP / jnp.maximum(dn, 1e-12))
             return jnp.where(inv_ok, u - du, u), None
 
         u, _ = jax.lax.scan(newton, u, None, length=n_iters)
         p_fin, (ok_tr, F, ci, ln, w1, t_end) = p_of(u)
         ep2, ed2, _, _, _, _ = _retrace(scene, chl, w1)
-        conv = jnp.linalg.norm(resid(u)) < NEWTON_EPS * scene_scale
+        conv = (jnp.linalg.norm(resid(u)) < NEWTON_EPS * scene_scale) \
+            & (jnp.linalg.norm(u) < MAX_DEV)
         Jt = jax.jacfwd(tang)
         s_off = (1.0 + u[0] ** 2 + u[1] ** 2) ** -1.5
         rho_off = jnp.abs(jnp.linalg.det(Jt(u))) / jnp.maximum(s_off,
@@ -541,8 +564,10 @@ def me_shift_surface(scene: Scene, ch, photon_prim, photon_ns,
         * rho_ratio[..., None]
     pdf_ratio = pdf_dir_ratio * pdf_chain_ratio * pdf_dist_ratio \
         * rho_ratio
+    t2 = jnp.maximum(t_off, 1e-3) ** 2
+    t2b = jnp.maximum(ch["t_last"], 1e-3) ** 2
     ok = (ch["ok"] & conv & ok_b & ok_an
           & (ch["pdf_dir_base"] > 1e-20) & (pdf_new > 0.0)
-          & (rho_off > 1e-20) & (rho_base > 1e-20))
+          & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
     return (jnp.where(ok[..., None], alpha_ratio, 0.0),
             jnp.where(ok, pdf_ratio, 0.0), ok, wi_new)

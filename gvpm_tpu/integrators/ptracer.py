@@ -202,7 +202,7 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
         wo_med, pdf_phase = ph.sample_phase(scene, cur_med, -d, u2)
         alpha_med_out = alpha_in_med * ms.sigma_s
 
-        ns = hit.ns * jnp.sign(dot(hit.ns, -d, keepdims=True))
+        ns = hit.ns  # true normal: dielectric needs the side sign
         s_ax, t_ax = coordinate_system(ns)
         wi_loc = to_local(ns, s_ax, t_ax, -d)
         u3 = jax.random.uniform(k_scat, (n, 3))

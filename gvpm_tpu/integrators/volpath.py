@@ -158,7 +158,11 @@ def trace_radiance(scene: Scene, cfg: VolPathConfig, o, d, med_idx, key,
         L_hit = thr_surf * Le * w_hit[..., None]
 
         # local frame at hit
-        ns = hit.ns * jnp.sign(dot(hit.ns, -d, keepdims=True))  # face viewer
+        # TRUE shading normal (no viewer-facing flip): sample_bsdf/
+        # eval_bsdf are sign-aware, and dielectric refraction NEEDS the
+        # inside/outside sign (rel IOR + TIR; flipping it made every
+        # glass exit refract with eta instead of 1/eta)
+        ns = hit.ns
         s_ax, t_ax = coordinate_system(ns)
         wi_loc = to_local(ns, s_ax, t_ax, -d)
         bi = jnp.clip(scene.prim_bsdf(hit.prim), 0,

@@ -1,0 +1,121 @@
+"""Manifold (ME) shift validation.
+
+- identity property: shifting a photon to its own position must return
+  alpha_ratio == pdf_ratio == 1 (the retrace Newton solve converges to
+  u = 0 and every ratio cancels)
+- k=2 chains (enter+exit through a glass sphere) retrace onto the
+  stored photon positions — this is the test that caught the dielectric
+  sidedness bug (exit refraction used eta instead of 1/eta)
+- the gvpm caustic scene renders finite gradients with ME on, and ME
+  increases the number of successful shifts (reference: per-shift-type
+  success StatsCounters, shift_ME.cpp:8-11)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gvpm_tpu.core import rng
+from gvpm_tpu.core.config import GradientConfig
+from gvpm_tpu.integrators import gvpm, manifold, sppm
+from gvpm_tpu.scene import SceneBuilder
+from gvpm_tpu.scene import types as st
+from gvpm_tpu.scenes import caustic_glass
+
+
+def mirror_scene():
+    b = SceneBuilder()
+    white = b.diffuse([0.7] * 3)
+    mirror = b.conductor()
+    light = b.area_light([30.0] * 3)
+    b.rectangle([0, 0, 0], [0, 0, 1], [1, 0, 0], white)
+    b.rectangle([0, 0, 1], [0, 1, 0], [1, 0, 0], mirror)
+    b.rectangle([0.35, 0.998, 0.35], [0.3, 0, 0], [0, 0, 0.3], white,
+                emitter=light)
+    m = b.homogeneous(sigma_a=[0.05] * 3, sigma_s=[0.3] * 3, g=0.0)
+    b.medium_box([0.02] * 3, [0.98] * 3, m)
+    b.camera(origin=[0.5, 0.5, -1.2], target=[0.5, 0.5, 0.5], fov=42)
+    return b.build(width=8, height=8)
+
+
+def _eligible(scene, ph, vtype):
+    vt = np.asarray(ph["vtype"])
+    rec = np.asarray(ph["reconnectable"])
+    pt = np.asarray(ph["parent_type"])
+    bty = np.asarray(scene.bsdf_type)[
+        np.clip(np.asarray(ph["parent_bsdf"]), 0,
+                len(np.asarray(scene.bsdf_type)) - 1)]
+    delta = (bty == st.BSDF_CONDUCTOR) | (bty == st.BSDF_DIELECTRIC)
+    m = (vt == vtype) & ~rec & (pt == 1) & delta
+    if vtype == 1:
+        obt = np.asarray(scene.bsdf_type)[
+            np.clip(np.asarray(ph["bsdf"]), 0,
+                    len(np.asarray(scene.bsdf_type)) - 1)]
+        m &= ~((obt == st.BSDF_CONDUCTOR) | (obt == st.BSDF_DIELECTRIC)
+               | (obt == st.BSDF_NULL))
+    return m
+
+
+def test_volume_me_identity_mirror():
+    scene = mirror_scene()
+    cfg = GradientConfig(max_depth=5, surface_photons=4096,
+                         volume_photons=4096)
+    ph, _ = sppm.shoot_photons(scene, cfg, 4096,
+                               rng.pass_key(2, 0, rng.STREAM_LIGHT))
+    m = _eligible(scene, ph, vtype=2)
+    assert m.sum() > 10
+    idx = jnp.asarray(np.nonzero(m)[0][:64])
+    ch = manifold.pull_chains(scene, ph, idx)
+    assert int(ch["ok"].sum()) == len(np.asarray(idx))
+    ar, pr, ok, _ = manifold.me_shift_volume(scene, ch, ph["p"][idx],
+                                             scene_scale=1.7)
+    ar, pr, ok = np.asarray(ar), np.asarray(pr), np.asarray(ok)
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(ar[ok], 1.0, atol=2e-3)
+    np.testing.assert_allclose(pr[ok], 1.0, atol=2e-3)
+
+
+def test_surface_me_k2_glass_identity():
+    scene = caustic_glass(width=10, height=10)
+    cfg = GradientConfig(max_depth=6, surface_photons=8192,
+                         volume_photons=8192)
+    ph, _ = sppm.shoot_photons(scene, cfg, 8192,
+                               rng.pass_key(3, 0, rng.STREAM_LIGHT))
+    m = _eligible(scene, ph, vtype=1)
+    assert m.sum() > 50
+    idx = jnp.asarray(np.nonzero(m)[0][:128])
+    ch = manifold.pull_chains(scene, ph, idx)
+    kk = np.asarray(ch["k"])
+    assert (kk == 2).sum() > 10, "expected enter+exit chains"
+    pns = ph["ns"][idx]
+    penter = jnp.sum(ph["wi"][idx] * pns, axis=-1) < 0.0
+    ar, pr, ok, _ = manifold.me_shift_surface(
+        scene, ch, ph["prim"][idx], pns, penter, ph["p"][idx],
+        scene_scale=1.7)
+    ar, pr, ok = np.asarray(ar), np.asarray(pr), np.asarray(ok)
+    k2ok = ok & (kk == 2)
+    assert k2ok.sum() > 5
+    # identity through a 2-interface glass chain: ratios ~ 1 (small
+    # residual from the tracer's ray-epsilon offsets)
+    np.testing.assert_allclose(ar[k2ok], 1.0, atol=0.08)
+    np.testing.assert_allclose(pr[k2ok], 1.0, atol=0.08)
+
+
+def test_gvpm_caustic_with_manifold():
+    scene = caustic_glass(width=10, height=10)
+    base = dict(max_depth=6, max_cam_depth=5, surface_photons=8192,
+                volume_photons=8192, grid_hash_size=1 << 13,
+                volume_samples=2, grid_max_photons_per_cell=64,
+                me_pair_budget=2048)
+    r_vol = sppm.base_volume_radius(scene,
+                                    GradientConfig(**base))
+    stats = {}
+    for um in (False, True):
+        cfg = GradientConfig(**base, use_manifold=um)
+        p, gx, gy, s = gvpm.render_pass(scene, cfg, "distance", 8192,
+                                        3, 0, 1.0, 1.0, r_vol)
+        assert np.isfinite(np.asarray(gx)).all()
+        assert np.isfinite(np.asarray(gy)).all()
+        stats[um] = int(s["shift_ok"])
+    # ME must recover shifts that diffuse reconnection cannot express
+    assert stats[True] > stats[False], stats
