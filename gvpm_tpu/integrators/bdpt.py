@@ -91,6 +91,7 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
                  active=jnp.ones((n,), bool),
                  dvcm=dvcm0, dvc=dvc0,
                  pdf_dir_prev=jnp.ones((n,)),
+                 null_dist=jnp.zeros((n,)),
                  depth=jnp.zeros((n,), jnp.int32))
     keys = jax.random.split(key, n_steps)
 
@@ -117,8 +118,11 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
             ms.pdf_failure, 1e-20)[..., None]
 
         # --- MIS propagation over the segment (SmallVCM):
-        # dVCM *= d^2 ; dVCM, dVC /= cos_at_new_vertex
-        seg_len = jnp.where(mevt, ms.t, t_far)
+        # dVCM *= d^2 ; dVCM, dVC /= cos_at_new_vertex. The distance is
+        # accumulated across NULL boundary crossings — using only the
+        # last sub-segment breaks the weight partition (systematic bias
+        # caught by the golden harness)
+        seg_len = state["null_dist"] + jnp.where(mevt, ms.t, t_far)
         cos_new = jnp.where(mevt, 1.0, jnp.abs(dot(hit.ns, d)))
         cos_new = jnp.maximum(cos_new, 1e-6)
         dvcm_at = state["dvcm"] * seg_len * seg_len / cos_new
@@ -141,6 +145,8 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
                     dvcm=dvcm_at, dvc=dvc_at,
                     seg_med=cur_med,
                     Le=Le, pdf_light_a=pdf_light_a,
+                    depth=state["depth"] + 1,   # scatter count (null
+                                                # crossings excluded)
                     is_delta=jnp.zeros((n,), bool))
 
         # --- scatter ---
@@ -197,6 +203,7 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
             active=active & ~dead,
             dvcm=new_dvcm, dvc=new_dvc,
             pdf_dir_prev=pdf_fwd,
+            null_dist=jnp.where(passthrough, seg_len, 0.0),
             depth=new_depth)
         # mark records from inactive lanes invalid
         vert["vtype"] = jnp.where(active, vert["vtype"], VT_NONE)
@@ -335,23 +342,34 @@ def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
         dvcm=1.0 / jnp.maximum(es.pdf_area, 1e-20),  # w_light -> pdfA/pA
         dvc=jnp.zeros((n,)), valid=es.valid)
 
+    # Strategy gating is per-LANE on scatter depth, not on scan-step
+    # index: null boundary crossings occupy scan steps without adding a
+    # path vertex, so with media inside null shells step index > depth
+    # and static index gates would drop valid connections. The static
+    # skip below only prunes (tci, sli) pairs whose MINIMUM possible
+    # depths already exceed max_depth.
+    nb = cfg.null_bounces
     for tci in range(n_steps):
         cv = jax.tree_util.tree_map(lambda a: a[tci], cam)
-        cam_len = tci + 2  # camera verts used incl. sensor
-
-        if cam_len <= cfg.max_depth + 1:
-            L = L + connect(cv, le_emitter)
+        if max(1, tci + 1 - nb) + 1 > cfg.max_depth + 1:
+            continue
+        dep_ok = cv["depth"] + 1 <= cfg.max_depth + 1
+        cve = dict(cv)
+        cve["vtype"] = jnp.where(dep_ok, cv["vtype"], VT_NONE)
+        L = L + connect(cve, le_emitter)
 
         for sli in range(n_steps):
-            light_len = sli + 2
-            if cam_len + light_len > cfg.max_depth + 2:
+            if max(1, tci + 1 - nb) + max(1, sli + 1 - nb) \
+                    > cfg.max_depth:
                 continue
             lv = jax.tree_util.tree_map(lambda a: a[sli], lt)
+            conn_ok = cv["depth"] + lv["depth"] <= cfg.max_depth
             le = dict(p=lv["p"], is_emitter=jnp.zeros((n,), bool),
                       vtype=lv["vtype"], ns=lv["ns"], bsdf=lv["bsdf"],
                       med=lv["med"], wi=lv["wi"], alpha=lv["alpha"],
                       dvcm=lv["dvcm"], dvc=lv["dvc"],
-                      valid=(lv["vtype"] != VT_NONE) & ~lv["is_delta"])
+                      valid=(lv["vtype"] != VT_NONE) & ~lv["is_delta"]
+                      & conn_ok)
             L = L + connect(cv, le)
 
     return L

@@ -305,23 +305,17 @@ def assemble_gradients(primal_px, S_px, W_px, H, W_img):
     return img(primal_px), gx, gy
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
-def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
-                seed, it, surf_scale, vol_scale, r_vol_base):
-    """One gradient pass. Returns (primal, gx, gy, stats): images
-    [H,W,3] plus stats = {visits, shift_ok}: the number of real photon
-    visits (candidates passing the kernel test — the honest bench
-    denominator) and of successful reconnection shifts (the reference's
-    per-pass shift success StatsCounter, shift_volume_photon.cpp:40-47)."""
-    H, W = scene.height, scene.width
-    n = H * W
-    k_cam = rng.pass_key(seed, it, rng.STREAM_CAMERA)
-    k_light = rng.pass_key(seed, it, rng.STREAM_LIGHT)
-    k_gather = rng.pass_key(seed, it, rng.STREAM_GATHER)
-
-    py, px = jnp.mgrid[0:H, 0:W]
-    px = px.reshape(-1).astype(jnp.float32)
-    py = py.reshape(-1).astype(jnp.float32)
+def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
+                 photons, beams, k_cam, k_gather, px, py, border,
+                 surf_scale, vol_scale, r_vol_base):
+    """The per-pixel-block gradient pass core: camera traces (base + 4
+    offsets), surface + volume gathers with shifts. Returns flat
+    (primal [n,3], S [4,n,3], W [4,n,3], stats) for the given pixel
+    lanes — callers assemble gradients on the full film (render_pass) or
+    on row shards (parallel.dist.gvpm_render_pass_sharded; S/W stay
+    unassembled so shard boundaries need no neighbor exchange)."""
+    n = px.shape[0]
+    W = scene.width
 
     # base + 4 offset camera paths, SAME random numbers -> same structure
     base, cam_beams = gatherpoint.trace(scene, cfg, k_cam, px, py)
@@ -331,12 +325,6 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         sgps.append(g)
         scbs.append(cbm)
 
-    # border masks: no reverse neighbor outside the film -> weight 1
-    xi = px.astype(jnp.int32)
-    yi = py.astype(jnp.int32)
-    border = jnp.stack([xi == W - 1, xi == 0, yi == H - 1, yi == 0])
-
-    photons, beams = sppm.shoot_photons(scene, cfg, n_photons, k_light)
     pp = photons["p"]
 
     def flat_cb(c):
@@ -465,13 +453,13 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         for i in range(4):
             s_i = dict(scb_list[i])
             s_i["pixel"] = lane
-            shift_ok = s_i["valid"] & (s_i["med"] == cb["med"]) \
+            sh_ok = s_i["valid"] & (s_i["med"] == cb["med"]) \
                 & cb["valid"]
-            L_i = jnp.where(shift_ok[..., None], eval_seg(s_i), 0.0)
+            L_i = jnp.where(sh_ok[..., None], eval_seg(s_i), 0.0)
             w = jnp.where(border_lane[i], 1.0,
-                          jnp.where(shift_ok, 0.5, 1.0))
+                          jnp.where(sh_ok, 0.5, 1.0))
             S_s = S_s.at[i].add(to_px(jnp.where(
-                shift_ok[..., None], w[..., None] * L_i, 0.0)))
+                sh_ok[..., None], w[..., None] * L_i, 0.0)))
             W_s = W_s.at[i].add(to_px(w[..., None] * L_base))
 
     # ---- directly-seen emission (directTracing, gvpm.cpp:1231-1240) ----
@@ -482,8 +470,35 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
         S_s = S_s.at[i].add(w * em_ok)
         W_s = W_s.at[i].add(w * base.emission)
 
+    return p_s, S_s, W_s, dict(visits=visits, shift_ok=shift_ok)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
+def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
+                seed, it, surf_scale, vol_scale, r_vol_base):
+    """One gradient pass. Returns (primal, gx, gy, stats): images
+    [H,W,3] plus stats = {visits, shift_ok}: the number of real photon
+    visits (candidates passing the kernel test — the honest bench
+    denominator) and of successful reconnection shifts (the reference's
+    per-pass shift success StatsCounter, shift_volume_photon.cpp:40-47)."""
+    H, W = scene.height, scene.width
+    k_cam = rng.pass_key(seed, it, rng.STREAM_CAMERA)
+    k_light = rng.pass_key(seed, it, rng.STREAM_LIGHT)
+    k_gather = rng.pass_key(seed, it, rng.STREAM_GATHER)
+
+    py, px = jnp.mgrid[0:H, 0:W]
+    px = px.reshape(-1).astype(jnp.float32)
+    py = py.reshape(-1).astype(jnp.float32)
+    xi = px.astype(jnp.int32)
+    yi = py.astype(jnp.int32)
+    border = jnp.stack([xi == W - 1, xi == 0, yi == H - 1, yi == 0])
+
+    photons, beams = sppm.shoot_photons(scene, cfg, n_photons, k_light)
+    p_s, S_s, W_s, stats = pass_buffers(
+        scene, cfg, volume, n_photons, photons, beams, k_cam, k_gather,
+        px, py, border, surf_scale, vol_scale, r_vol_base)
     primal, gx, gy = assemble_gradients(p_s, S_s, W_s, H, W)
-    return primal, gx, gy, dict(visits=visits, shift_ok=shift_ok)
+    return primal, gx, gy, stats
 
 
 def render(scene: Scene, cfg: GradientConfig = GradientConfig(),

@@ -105,3 +105,102 @@ def render(mesh, scene: Scene, cfg: PhotonConfig = PhotonConfig(),
         if dim > 0:
             vol_scale *= ratio ** (1.0 / dim)
     return dict(image=accum / n_passes, passes=n_passes)
+
+
+def gvpm_render_pass_sharded(mesh, scene: Scene, cfg, volume, n_photons,
+                             seed, it, surf_scale, vol_scale, r_vol_base):
+    """One G-VPM gradient pass over the mesh.
+
+    Decomposition (SURVEY.md §2.8 mapping): light paths shard over
+    devices with deterministic fold_in keys; photon partitions all_gather
+    over ICI; each device runs the full 5-way gradient gather
+    (gvpm.pass_buffers) for its pixel ROWS. The per-direction S/W
+    buffers come back row-sharded and UNASSEMBLED — gradient assembly
+    (computeGradient's cross-pixel differences) runs on the gathered
+    film, so row boundaries need no halo exchange.
+
+    Returns (primal, gx, gy [H,W,3], stats dict).
+    """
+    from ..integrators import gvpm
+    H, W = scene.height, scene.width
+    n_dev = mesh.devices.size
+    assert H % n_dev == 0 and n_photons % n_dev == 0
+
+    def body(scene_rep, seed_, it_, surf_s, vol_s, r_vol):
+        me = lax.axis_index(AXIS)
+        k_light = rng.pass_key(seed_[0], it_[0], rng.STREAM_LIGHT)
+        k_light = jax.random.fold_in(k_light, me)
+        photons, beams = sppm.shoot_photons(
+            scene_rep, cfg, n_photons // n_dev, k_light)
+        photons = jax.tree_util.tree_map(
+            lambda a: lax.all_gather(a, AXIS, tiled=True), photons)
+        beams = jax.tree_util.tree_map(
+            lambda a: lax.all_gather(a, AXIS, tiled=True), beams)
+        rows = H // n_dev
+        y0 = me * rows
+        py, px = jnp.mgrid[0:rows, 0:W]
+        px = px.reshape(-1).astype(jnp.float32)
+        py = (py + y0).reshape(-1).astype(jnp.float32)
+        xi = px.astype(jnp.int32)
+        yi = py.astype(jnp.int32)
+        border = jnp.stack([xi == W - 1, xi == 0,
+                            yi == H - 1, yi == 0])
+        k_cam = jax.random.fold_in(
+            rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA), me)
+        k_gather = jax.random.fold_in(
+            rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER), me)
+        p_s, S_s, W_s, stats = gvpm.pass_buffers(
+            scene_rep, cfg, volume, n_photons, photons, beams, k_cam,
+            k_gather, px, py, border, surf_s[0], vol_s[0], r_vol[0])
+        visits = lax.psum(stats["visits"], AXIS)
+        shift_ok = lax.psum(stats["shift_ok"], AXIS)
+        return (p_s.reshape(rows, W, 3),
+                S_s.reshape(4, rows, W, 3),
+                W_s.reshape(4, rows, W, 3),
+                visits[None], shift_ok[None])
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), P()),
+                   out_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                              P(AXIS), P(AXIS)),
+                   check_rep=False)
+    args = (jnp.asarray([seed]), jnp.asarray([it]),
+            jnp.asarray([surf_scale]), jnp.asarray([vol_scale]),
+            jnp.asarray([r_vol_base]))
+    p, S, Wb, visits, shift_ok = jax.jit(fn)(scene, *args)
+    primal, gx, gy = gvpm.assemble_gradients(
+        p.reshape(-1, 3), S.reshape(4, -1, 3), Wb.reshape(4, -1, 3),
+        H, W)
+    return primal, gx, gy, dict(visits=visits[0], shift_ok=shift_ok[0])
+
+
+def gvpm_render(mesh, scene: Scene, cfg, volume="distance", seed=0,
+                passes=None):
+    """Sharded progressive G-VPM render + Poisson reconstruction."""
+    from ..integrators import gvpm
+    from ..ops import poisson
+    n_passes = passes if passes is not None else cfg.max_passes
+    n_photons = max(cfg.volume_photons, cfg.surface_photons)
+    n_dev = mesh.devices.size
+    n_photons = ((n_photons + n_dev - 1) // n_dev) * n_dev
+    r_vol_base = sppm.base_volume_radius(scene, cfg)
+    dim = sppm.KERNEL_DIM.get(volume, 3)
+
+    H, W = scene.height, scene.width
+    acc = [jnp.zeros((H, W, 3)) for _ in range(3)]
+    surf_scale, vol_scale = 1.0, 1.0
+    for it in range(n_passes):
+        p, gx, gy, _ = gvpm_render_pass_sharded(
+            mesh, scene, cfg, volume, n_photons, seed, it, surf_scale,
+            vol_scale, r_vol_base)
+        acc = [acc[0] + p, acc[1] + gx, acc[2] + gy]
+        ratio = sppm.radius_ratio(it, cfg.alpha)
+        surf_scale *= ratio ** 0.5
+        if dim > 0:
+            vol_scale *= ratio ** (1.0 / dim)
+    primal, gx, gy = [a / n_passes for a in acc]
+    recon = poisson.solve(primal, gx, gy, alpha=cfg.recon_alpha,
+                          iters=cfg.recon_iters,
+                          irls_iters=cfg.recon_irls_iters,
+                          l1=cfg.recon_l1)
+    return dict(image=recon, primal=primal, gx=gx, gy=gy)

@@ -182,6 +182,9 @@ def eval_bsdf(scene: Scene, bi, wi, wo, transport="radiance"):
     Returns (f [N,3], pdf [N]): pdf of sampling wo given wi under sample().
     """
     btype = scene.bsdf_type[bi]
+    flip = _twosided_flip(btype, wi)
+    wi = _flip_z(wi, flip)
+    wo = _flip_z(wo, flip)
     albedo = scene.bsdf_albedo[bi]
     alpha = scene.bsdf_alpha[bi]
     eta3 = scene.bsdf_eta3[bi]
@@ -263,6 +266,23 @@ def pdf_bsdf(scene: Scene, bi, wi, wo):
 
 # ------------------------------ sample -------------------------------------
 
+def _twosided_flip(btype, wi):
+    """Built-in `twosided` adapter (reference: bsdfs/twosided.cpp, which
+    the scene files wrap around most reflective BSDFs): for NON-
+    transmissive lobes a back-side hit evaluates in the z-mirrored frame.
+    Transmissive lobes (dielectric / rough dielectric) keep the SIGNED
+    frame — the inside/outside sign drives relative IOR and TIR.
+    Returns the per-lane z flip (+-1)."""
+    transmissive = (btype == BSDF_DIELECTRIC) \
+        | (btype == BSDF_ROUGH_DIELECTRIC) | (btype == BSDF_NULL)
+    back = _cos(wi) < 0.0
+    return jnp.where(back & ~transmissive, -1.0, 1.0)
+
+
+def _flip_z(v, flip):
+    return jnp.stack([v[..., 0], v[..., 1], v[..., 2] * flip], axis=-1)
+
+
 def sample_bsdf(scene: Scene, bi, wi, u3, transport="radiance") -> BSDFSample:
     """Sample wo given wi. u3: [N,3] uniforms (lobe select + 2D)."""
     btype = scene.bsdf_type[bi]
@@ -272,6 +292,8 @@ def sample_bsdf(scene: Scene, bi, wi, u3, transport="radiance") -> BSDFSample:
     eta3 = scene.bsdf_eta3[bi]
     k3 = scene.bsdf_k[bi]
     spec = scene.bsdf_k[bi]
+    flip = _twosided_flip(btype, wi)
+    wi = _flip_z(wi, flip)
     ci = _cos(wi)
     u0 = u3[..., 0]
     u2 = u3[..., 1:3]
@@ -395,6 +417,7 @@ def sample_bsdf(scene: Scene, bi, wi, u3, transport="radiance") -> BSDFSample:
         eta_out = jnp.where(mask, etai, eta_out)
 
     valid = jnp.max(wgt, axis=-1) > 0.0
+    wo = _flip_z(wo, flip)    # back to the caller's (unflipped) frame
     return BSDFSample(wo=wo, weight=wgt, pdf=pdf, is_delta=is_delta,
                       eta=eta_out, valid=valid)
 

@@ -5,8 +5,21 @@ The reference accelerates with a SAH kd-tree + SSE traversal
 Pointer-chasing trees are hostile to the TPU's vector units, so the
 TPU-native design streams *all* primitives against the ray batch in fixed
 tiles with a running min — a wavefront any/closest-hit that is pure VPU
-work, fuses under XLA, and is exact. Paper scenes are O(10^2..10^4) prims,
-so O(rays x prims / tile) streaming beats tree divergence on this hardware.
+work, fuses under XLA, and is exact.
+
+Why no BVH/grid traversal on-device (measured roofline, v5e): any
+tree/grid walk turns intersection into per-ray GATHERS of node/triangle
+rows, and TPU gathers pay per index — measured ~75M 128-byte-row
+gathers/s, vs ~0.5 Tflop/s of VPU streaming where triangle tiles are
+broadcast constants (no gathers at all). A 32-tris-per-cell DDA walk of
+~64 steps costs ~2k row-gathers per ray (~7 s for a 262k-ray wavefront);
+brute-force streaming of T triangles costs ~60*T flops per ray (~3 s at
+T=50k, linear in T). Break-even is T ~ 2e5 primitives — far above the
+paper scenes (O(10^2..10^4) prims), so streaming IS the accelerator on
+this hardware. The native binned-SAH BVH (native/host_ops.cpp
+gv_build_bvh) remains the host-side index for mesh tooling and is the
+building block for a coarse-front + ray-sorted traversal if >2e5-prim
+scenes become a target.
 
 Exports:
   intersect(scene, o, d, t_max) -> Hit        (closest hit)

@@ -11,7 +11,7 @@ from tests.test_more_integrators import _box
 
 def test_gbdpt_gradients_match_fd():
     scene = _box(12, 12)
-    cfg = VolPathConfig(spp=10, max_depth=4, null_bounces=2)
+    cfg = VolPathConfig(spp=6, max_depth=4, null_bounces=2)
     out = gbdpt.render(scene, cfg, seed=2, recon_iters=30)
     primal = np.asarray(out["primal"])
     gx = np.asarray(out["gx"])

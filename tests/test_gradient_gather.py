@@ -69,6 +69,7 @@ def _close(a, b, name, rtol=2e-4, atol=2e-6):
     np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, err_msg=name)
 
 
+@pytest.mark.slow
 def test_surface_dense_matches_fold(setup):
     s = setup
     pp = s["photons"]["p"]
@@ -99,6 +100,7 @@ def test_surface_dense_matches_fold(setup):
     assert int(jnp.sum(visits)) > 0
 
 
+@pytest.mark.slow
 def test_volume_dense_matches_fold(setup):
     s = setup
     pp = s["photons"]["p"]
@@ -125,6 +127,7 @@ def test_volume_dense_matches_fold(setup):
     assert int(jnp.sum(visits)) > 0
 
 
+@pytest.mark.slow
 def test_bre_dense_matches_fold(setup):
     s = setup
     pp = s["photons"]["p"]

@@ -10,17 +10,20 @@ from gvpm_tpu.core.config import GradientConfig
 from gvpm_tpu.integrators import gvpm
 from tests.test_sppm import make_box_scene
 
+# use_manifold off here: the ME machinery has its own tests
+# (test_manifold.py); keeping it out of this config halves compile time
 CFG = GradientConfig(max_depth=5, null_bounces=3, max_cam_depth=5,
                      surface_photons=16384, volume_photons=16384,
                      grid_hash_size=1 << 14, volume_samples=2,
                      initial_scale=1.0, grid_max_photons_per_cell=160,
-                     recon_iters=40, recon_irls_iters=2)
+                     recon_iters=40, recon_irls_iters=2,
+                     use_manifold=False)
 
 
 @pytest.fixture(scope="module")
 def gvpm_out():
-    scene = make_box_scene(w=16, h=16)
-    return scene, gvpm.render(scene, CFG, volume="distance", passes=8,
+    scene = make_box_scene(w=12, h=12)
+    return scene, gvpm.render(scene, CFG, volume="distance", passes=6,
                               seed=11)
 
 

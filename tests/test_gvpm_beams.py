@@ -12,15 +12,16 @@ from gvpm_tpu.integrators import gvpm
 from tests.test_sppm import make_box_scene
 
 CFG = GradientConfig(max_depth=5, null_bounces=3, max_cam_depth=5,
-                     surface_photons=8192, volume_photons=8192,
-                     grid_hash_size=1 << 13, volume_samples=2,
-                     beam_tile=256, recon_iters=30, recon_irls_iters=2)
+                     surface_photons=4096, volume_photons=4096,
+                     beams=2048, grid_hash_size=1 << 12, volume_samples=2,
+                     beam_tile=256, recon_iters=20, recon_irls_iters=1,
+                     use_manifold=False)
 
 
 @pytest.mark.parametrize("volume", ["beam1d", "plane0d"])
 def test_beam_plane_gradients_match_fd(volume):
-    scene = make_box_scene(w=12, h=12)
-    out = gvpm.render(scene, CFG, volume=volume, passes=6, seed=3)
+    scene = make_box_scene(w=10, h=10)
+    out = gvpm.render(scene, CFG, volume=volume, passes=4, seed=3)
     primal = np.asarray(out["primal"])
     gx = np.asarray(out["gx"])
     gy = np.asarray(out["gy"])

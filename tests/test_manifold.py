@@ -101,6 +101,7 @@ def test_surface_me_k2_glass_identity():
     np.testing.assert_allclose(pr[k2ok], 1.0, atol=0.08)
 
 
+@pytest.mark.slow
 def test_gvpm_caustic_with_manifold():
     scene = caustic_glass(width=10, height=10)
     base = dict(max_depth=6, max_cam_depth=5, surface_photons=8192,

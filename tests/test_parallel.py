@@ -32,6 +32,7 @@ def test_sharded_pass_runs_and_is_finite():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_device_count_changes_only_sampling_not_energy():
     """2-device and 8-device runs draw different photon keys but must
     agree statistically (same estimator, same totals)."""
@@ -47,3 +48,28 @@ def test_device_count_changes_only_sampling_not_energy():
                 r_vol)
         means.append(float(acc.mean()) / 3)
     assert abs(means[0] / means[1] - 1.0) < 0.25, means
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow
+def test_gvpm_sharded_gradient_pass():
+    """The gradient pass shards: finite row-sharded primal + gradients,
+    energy invariant between 2 and 8 devices (VERDICT r1 task 8)."""
+    from gvpm_tpu.core.config import GradientConfig
+    scene = make_box_scene(w=16, h=16)
+    gcfg = GradientConfig(max_depth=4, null_bounces=3, max_cam_depth=4,
+                          surface_photons=8192, volume_photons=8192,
+                          grid_hash_size=1 << 12, volume_samples=1,
+                          grid_max_photons_per_cell=160,
+                          use_manifold=False)
+    r_vol = sppm.base_volume_radius(scene, gcfg)
+    means = []
+    for n_dev in (2, 8):
+        mesh = meshmod.make_mesh(n_dev)
+        p, gx, gy, stats = dist.gvpm_render_pass_sharded(
+            mesh, scene, gcfg, "distance", 8192, 0, 0, 1.0, 1.0, r_vol)
+        for a in (p, gx, gy):
+            assert np.isfinite(np.asarray(a)).all()
+        assert int(stats["visits"]) > 0
+        means.append(float(jnp.mean(p)))
+    assert abs(means[0] / means[1] - 1.0) < 0.3, means
