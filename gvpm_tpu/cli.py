@@ -28,7 +28,7 @@ def build_argparser():
                    choices=["volpath", "path", "direct", "ao", "ptracer",
                             "bdpt", "gbdpt", "sppm", "ppm",
                             "photonmapper", "vpl", "pssmlt", "erpt",
-                            "gvpm", "gpt"])
+                            "mlt", "gvpm", "gpt"])
     p.add_argument("--volume", default="distance",
                    choices=["none", "distance", "bre", "beam1d",
                             "beam3d", "plane0d"])
@@ -140,6 +140,12 @@ def main(argv=None):
             from .integrators import pssmlt
             cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
             out["image"] = pssmlt.render(
+                scene, cfg, seed=args.seed,
+                n_mutations=max(8, args.spp))
+        elif args.integrator == "mlt":
+            from .integrators import mlt as mltmod
+            cfg = VolPathConfig(spp=args.spp, max_depth=args.max_depth)
+            out["image"] = mltmod.render(
                 scene, cfg, seed=args.seed,
                 n_mutations=max(8, args.spp))
         elif args.integrator == "erpt":

@@ -380,10 +380,18 @@ def make_planes(scene: Scene, lb, key):
     # degenerate when w1 ~ parallel to the beam (transformBeam's while loop)
     ok = lb["valid"] & (jnp.abs(dot(w1, lb["d"])) < 1.0 - 1e-6) \
         & (l1 > 1e-6) & jnp.isfinite(l1)
-    return dict(o=lb["o"], w0=lb["d"], l0=lb["length"], w1=w1, l1=l1,
-                alpha=lb["alpha"], med=mi, valid=ok,
-                # survival of the plane-extension sampler: w=1, green chan
-                surv1_sigma=sigma_g)
+    out = dict(o=lb["o"], w0=lb["d"], l0=lb["length"], w1=w1, l1=l1,
+               alpha=lb["alpha"], med=mi, valid=ok,
+               # survival of the plane-extension sampler: w=1, green chan
+               surv1_sigma=sigma_g)
+    # pass the generating beam's shift caches through (1:1 order) for
+    # the plane rotation shift (gradient_gather.plane_gradient_gather)
+    for k in ("parent_p", "parent_type", "parent_wi", "parent_ns",
+              "parent_bsdf", "parent_med", "scatter_base",
+              "pdf_dir_base", "reconnectable"):
+        if k in lb:
+            out[k] = lb[k]
+    return out
 
 
 def plane_gather(scene: Scene, beams_cam, planes, n_emitted, tile=256):

@@ -47,6 +47,8 @@ class GatherPoints:
     pixel: jnp.ndarray     # [N] int32 flat pixel id
     depth: jnp.ndarray     # [N] camera path scatter count at GP
     med: jnp.ndarray       # [N] int32 medium at the GP
+    pdf_prod: jnp.ndarray  # [N] product of BSDF sample pdfs along the
+    #   camera subpath up to the GP (sensorMIS ratio, gvpm_struct.h:608)
 
 
 @flax.struct.dataclass
@@ -63,6 +65,7 @@ class CameraBeams:
     thr: jnp.ndarray     # [S,N,3] camera throughput at segment start
     pixel: jnp.ndarray   # [S,N] int32
     spread: jnp.ndarray  # [S,N] pixel footprint angular rate at seg start
+    pdf_prod: jnp.ndarray  # [S,N] camera-subpath pdf product at seg start
 
 
 def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
@@ -76,6 +79,7 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
     state = dict(
         o=o, d=d, med=jnp.broadcast_to(scene.cam_medium, (n,)),
         thr=jnp.ones((n, 3)), dist=jnp.zeros((n,)),
+        pdfp=jnp.ones((n,)),
         active=jnp.ones((n,), bool),
         emission=jnp.zeros((n, 3)),
         depth=jnp.zeros((n,), jnp.int32),
@@ -83,7 +87,8 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
                 ns=jnp.zeros((n, 3)), wo=jnp.zeros((n, 3)),
                 bsdf=jnp.zeros((n,), jnp.int32), thr=jnp.zeros((n, 3)),
                 radius=jnp.zeros((n,)), depth=jnp.zeros((n,), jnp.int32),
-                med=jnp.broadcast_to(scene.cam_medium, (n,))),
+                med=jnp.broadcast_to(scene.cam_medium, (n,)),
+                pdf_prod=jnp.ones((n,))),
     )
     step_keys = jax.random.split(k_walk, cfg.max_cam_depth)
 
@@ -98,7 +103,8 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
         seg_len = jnp.where(hit.valid, hit.t, 0.0)
         beam = dict(valid=active & (cur_med >= 0) & (seg_len > 1e-6),
                     o=o, d=d, length=seg_len, med=cur_med, thr=thr,
-                    pixel=pixel, spread=spread)
+                    pixel=pixel, spread=spread,
+                    pdf_prod=state["pdfp"])
 
         tr = med.transmittance(scene, cur_med, seg_len)
         thr_h = thr * tr
@@ -129,6 +135,7 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
                              gp["radius"]),
             depth=jnp.where(found, state["depth"] + 1, gp["depth"]),
             med=jnp.where(found, cur_med, gp["med"]),
+            pdf_prod=jnp.where(found, state["pdfp"], gp["pdf_prod"]),
         )
 
         # continue through specular / null surfaces
@@ -150,6 +157,8 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
             d=jnp.where(cont[..., None], wo_w, d),
             med=new_med,
             thr=jnp.where(cont[..., None], thr_h * bs.weight, thr),
+            pdfp=jnp.where(cont, state["pdfp"]
+                           * jnp.maximum(bs.pdf, 1e-20), state["pdfp"]),
             dist=jnp.where(cont, dist_h, state["dist"]),
             active=cont,
             emission=emission,
@@ -164,5 +173,6 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
                        wo=gp["wo"], bsdf=gp["bsdf"], thr=gp["thr"],
                        radius=jnp.maximum(gp["radius"], 1e-5),
                        emission=state["emission"], pixel=pixel,
-                       depth=gp["depth"], med=gp["med"])
+                       depth=gp["depth"], med=gp["med"],
+                       pdf_prod=gp["pdf_prod"])
     return gps, CameraBeams(**beams)

@@ -297,6 +297,12 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
     s_ax_all, t_ax_all = coordinate_system(base.ns)
     wo_loc_all = to_local(base.ns, s_ax_all, t_ax_all, base.wo)
     comp = jnp.stack([_gp_compatible(base, sgps[i]) for i in range(4)])
+    # sensorMIS: offset/base camera-subpath pdf ratio
+    # (gvpm_struct.h:608-631); 1 for pure-specular-identical retraces
+    sens = jnp.stack([
+        jnp.clip(sgps[i].pdf_prod
+                 / jnp.maximum(base.pdf_prod, 1e-20), 1e-4, 1e4)
+        for i in range(4)])
     sgp_frames = []
     for i in range(4):
         ss, tt = coordinate_system(sgps[i].ns)
@@ -349,7 +355,7 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
             fsr, fsg, fsb, _ = pl.eval_bsdf_pdf_gather(
                 scene, bi_s, wo_sp, wi_ls)
             ok_i = ok_s & comp[i][qi][:, None] & inside
-            w = _mis_planar(pr_l, 1.0, ok_i)
+            w = _mis_planar(pr_l, sens[i][qi][:, None], ok_i)
             w = jnp.where(border[i][qi][:, None], 1.0, w)
             kwi = jnp.where(ok_i, k2 * scale, 0.0) * w
             S.append(jnp.stack(
@@ -454,6 +460,11 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
 
     svalid = [scb_list[i]["valid"] & (scb_list[i]["med"] == mi)
               for i in range(4)]
+    # sensorMIS: offset/base camera-subpath pdf ratio
+    # (gvpm_struct.h:608-631)
+    sens = [jnp.clip(scb_list[i]['pdf_prod']
+                     / jnp.maximum(cb['pdf_prod'], 1e-20),
+                     1e-4, 1e4) for i in range(4)]
 
     def one_sample(k):
         u = jax.random.uniform(k, (m,))
@@ -474,7 +485,7 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             ps_i, _ = med.pdf_distance(scene, mi, t, s["length"],
                                        jnp.zeros_like(sok),
                                        strategy=med.ALWAYS_VALID)
-            pdf_ratio_cam.append(ps_i / pdf_base_ray)
+            pdf_ratio_cam.append(ps_i / pdf_base_ray * sens[i])
             cam_ok.append(ok_i)
             thr_s.append(s["thr"] * ms.transmittance * ms.sigma_s
                          / pdf_base_ray[..., None])
@@ -613,6 +624,11 @@ def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
 
     svalid = [scb_list[i]["valid"] & (scb_list[i]["med"] == mi)
               for i in range(4)]
+    # sensorMIS: offset/base camera-subpath pdf ratio
+    # (gvpm_struct.h:608-631)
+    sens = [jnp.clip(scb_list[i]['pdf_prod']
+                     / jnp.maximum(cb['pdf_prod'], 1e-20),
+                     1e-4, 1e4) for i in range(4)]
 
     def body(kstep, carry):
         primal0, S0, W0, v0, so0 = carry
@@ -676,7 +692,7 @@ def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                 cos_s = -pl.dot3(w_new, pl.expand(sdq))
                 pf_s = pl.eval_phase_planar(scene, miq, cos_s)
                 ok_i = inside & ok_cam & ok_s
-                w = _mis_planar(pr_l, 1.0, ok_i)
+                w = _mis_planar(pr_l, sens[i][qi][:, None], ok_i)
                 w = jnp.where(border_lane[i][qi][:, None], 1.0, w)
                 kwi = jnp.where(ok_i, pf_s * k2 * scale, 0.0) * w
                 sthr = scb_list[i]["thr"][qi]
@@ -706,3 +722,747 @@ def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                                                    init)
     inv = 1.0 / n_emitted
     return primal * inv, S * inv, W * inv, visits, shift_ok
+
+
+# ---------------------------------------------------------------------------
+# photon-beam gradient gather (1D) with light-side reconnection shifts
+# ---------------------------------------------------------------------------
+
+def _bake_beam_params(scene: Scene, lb):
+    """Per-beam [B] parent material parameters (one cheap table gather
+    per pass instead of [M,T]-indexed lookups in the tile loop)."""
+    bic = jnp.clip(lb["parent_bsdf"], 0, scene.bsdf_type.shape[0] - 1)
+    pmi = jnp.clip(lb["parent_med"], 0, scene.med_sigma_s.shape[0] - 1)
+    in_med = lb["parent_med"] >= 0
+    return dict(
+        bp_btype=scene.bsdf_type[bic].astype(jnp.float32),
+        bp_alb=scene.bsdf_albedo[bic],
+        bp_spec=scene.bsdf_k[bic],
+        bp_eta3=scene.bsdf_eta3[bic],
+        bp_alpha=scene.bsdf_alpha[bic],
+        bp_eta1=scene.bsdf_eta[bic],
+        bp_sigs=jnp.where(in_med[..., None], scene.med_sigma_s[pmi], 0.0),
+        bp_g=scene.med_g[pmi],
+        bp_ptype=scene.med_phase[pmi].astype(jnp.float32))
+
+
+_BEAM_F3 = ("o", "d", "alpha", "parent_p", "parent_wi", "parent_ns",
+            "scatter_base", "bp_alb", "bp_spec", "bp_eta3", "bp_sigs")
+_BEAM_F1 = ("length", "med", "pdf_dir_base", "parent_type",
+            "reconnectable", "valid", "bp_btype", "bp_alpha", "bp_eta1",
+            "bp_g", "bp_ptype")
+
+
+def beam_gradient_gather(scene: Scene, cb, scb_list, lb, n_emitted,
+                         r_beam, border_lane, tile=256):
+    """1D beam-beam gradient gather: base intersections paired with a
+    light-side DIFFUSE-RECONNECTION beam shift.
+
+    The shift (reference shiftBeamDiffuse, shift_volume_beams.h:408-457;
+    BeamGradRadianceQuery:151-260) keeps the beam's origin vertex A,
+    maps the base intersection point pb to the offset camera frame
+    preserving the camera distance t_c and the kernel offset vector
+    (pc - pb), and re-emits the beam from A through the mapped point:
+    new direction, scatter-lobe ratio at A, transmittance/survival at
+    the new beam parameter, 1/sin(theta') of the new crossing. MIS uses
+    the density ratio of the offset intersection under its own sampling
+    (pdf_dir * surv / (t^2 sin)) vs the base's
+    (shift_volume_beams.h:273-311 Jacobian terms). Beams whose origin
+    lobe is non-reconnectable (delta scatter / post-null segment) fall
+    back to the null/identity shift (shiftNull3D,
+    shift_volume_beams.cpp:748): the SAME beam re-intersected against
+    the offset camera segment, weight 1/2.
+
+    cb / scb_list: base + 4 offset camera-segment dicts (same flat
+    order); lb: flattened LightBeams dict; border_lane: [4,M] bool.
+    Returns (primal [M,3], S [4,M,3], W [4,M,3], visits, shift_ok).
+    """
+    from ..core.math import dot
+    from . import estimators as est
+
+    oc, dc, lc = cb["o"], cb["d"], cb["length"]
+    mi, cvalid, cthr = cb["med"], cb["valid"], cb["thr"]
+    m = oc.shape[0]
+    _, sigma_s, st_c = med._tables(scene, mi)          # [M,3]
+    mic = jnp.clip(mi, 0, scene.med_g.shape[0] - 1)
+    g_cam = scene.med_g[mic][:, None]                  # [M,1] planes
+    pt_cam = scene.med_phase[mic][:, None]
+    k1 = 1.0 / (2.0 * r_beam)
+    r2 = r_beam * r_beam
+
+    so = [s["o"] for s in scb_list]
+    sd = [s["d"] for s in scb_list]
+    sthr = [s["thr"] for s in scb_list]
+    slen = [s["length"] for s in scb_list]
+    svalid = [s["valid"] & (s["med"] == mi) & cvalid for s in scb_list]
+    # sensorMIS camera-subpath pdf ratio (gvpm_struct.h:608-631)
+    sens = [jnp.clip(scb_list[i]["pdf_prod"]
+                     / jnp.maximum(cb["pdf_prod"], 1e-20), 1e-4, 1e4)
+            for i in range(4)]
+
+    fields = dict(lb)
+    fields.update(_bake_beam_params(scene, lb))
+    nb = lb["o"].shape[0]
+    n_tiles = -(-nb // tile)
+    pad = n_tiles * tile - nb
+
+    def tl(a):
+        a = jnp.pad(a.astype(jnp.float32) if a.dtype == jnp.bool_ else a,
+                    [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_tiles, tile) + a.shape[1:])
+
+    tiles = {k: tl(fields[k]) for k in _BEAM_F3 + _BEAM_F1}
+
+    def p3(a):           # [T,3] -> plane tuple of [1,T]
+        return (a[None, :, 0], a[None, :, 1], a[None, :, 2])
+
+    def tile_step(acc, t):
+        primal, S, W, visits, shok = acc
+        tob, tdb, tLb, tab = t["o"], t["d"], t["length"], t["alpha"]
+        tvb = t["valid"] > 0.5
+        tmb = t["med"].astype(jnp.int32)
+
+        # ---- base closest approach (rayIntersectInternal1D) ----
+        w0 = oc[:, None, :] - tob[None]
+        b = dot(dc[:, None, :], tdb[None])
+        f1 = -dot(w0, dc[:, None, :])
+        f2 = -dot(w0, tdb[None])
+        denom = 1.0 - b * b
+        parallel = jnp.abs(denom) < 1e-8
+        den = jnp.where(parallel, 1.0, denom)
+        tc_ = (f1 - b * f2) / den
+        tb_ = (b * f1 - f2) / den
+        okb = (~parallel & (tc_ > 1e-5) & (tc_ < lc[:, None])
+               & (tb_ > 1e-5) & (tb_ < tLb[None])
+               & cvalid[:, None] & tvb[None]
+               & (mi[:, None] == tmb[None]))
+        pc = oc[:, None, :] + dc[:, None, :] * tc_[..., None]
+        pb = tob[None] + tdb[None] * tb_[..., None]
+        delta = pc - pb
+        d2 = jnp.sum(delta * delta, axis=-1)
+        okb = okb & (d2 < r2)
+        sin_t = jnp.sqrt(jnp.maximum(denom, 1e-12))
+        pf_b = pl.phase_params(-b, g_cam, pt_cam)
+        tr_c = jnp.exp(-st_c[:, None, :] * tc_[..., None])
+        tr_b = jnp.exp(-st_c[:, None, :] * tb_[..., None])
+        surv_b = est.survival_prob(
+            scene, jnp.broadcast_to(mi[:, None], b.shape), tb_)
+        wgt_b = (pf_b * k1 / (sin_t * jnp.maximum(surv_b, 1e-9)))[..., None] \
+            * tr_c * tr_b * sigma_s[:, None, :]
+        c_base = jnp.where(okb[..., None], tab[None] * wgt_b, 0.0) \
+            * cthr[:, None, :]
+        primal = primal + jnp.sum(c_base, axis=1)
+        visits = visits + jnp.sum(okb)
+
+        # ---- reconnection caches shared by the 4 shifts ----
+        A = t["parent_p"]                                   # [T,3]
+        pwi = p3(t["parent_wi"])
+        pns = p3(t["parent_ns"])
+        ptype = t["parent_type"].astype(jnp.int32)[None]
+        reconn = (t["reconnectable"] > 0.5)[None]           # [1,T]
+        sc_old = p3(t["scatter_base"])
+        pdf_old = t["pdf_dir_base"][None]
+        bparams = dict(btype=t["bp_btype"].astype(jnp.int32)[None],
+                       alb=p3(t["bp_alb"]), spec=p3(t["bp_spec"]),
+                       eta3=p3(t["bp_eta3"]),
+                       alpha=t["bp_alpha"][None], eta1=t["bp_eta1"][None])
+        mparams = dict(sigs=p3(t["bp_sigs"]), g=t["bp_g"][None],
+                       ptype=t["bp_ptype"].astype(jnp.int32)[None])
+        sc_old_max = jnp.maximum(jnp.maximum(sc_old[0], sc_old[1]),
+                                 sc_old[2])
+
+        for i in range(4):
+            # ---- reconnection branch ----
+            pc_i = so[i][:, None, :] + sd[i][:, None, :] * tc_[..., None]
+            y_i = pc_i - delta
+            dv = y_i - A[None]
+            t_new2 = jnp.maximum(jnp.sum(dv * dv, axis=-1), 1e-12)
+            t_new = jnp.sqrt(t_new2)
+            w_new = tuple(dv[..., c] / t_new for c in range(3))
+            sr, sg, sb_, pdf_new, ok_sc = pl.parent_scatter_params(
+                ptype, pwi, pns, bparams, mparams, w_new)
+            cos_x = (w_new[0] * sd[i][:, None, 0]
+                     + w_new[1] * sd[i][:, None, 1]
+                     + w_new[2] * sd[i][:, None, 2])
+            sin2_n = jnp.maximum(1.0 - cos_x * cos_x, 1e-8)
+            sin_n = jnp.sqrt(sin2_n)
+            pf_n = pl.phase_params(-cos_x, g_cam, pt_cam)
+            surv_n = est.survival_prob(
+                scene, jnp.broadcast_to(mi[:, None], b.shape), t_new)
+            tr_bn = jnp.exp(-st_c[:, None, :] * t_new[..., None])
+            # offset beam length: same free-flight randoms in the same
+            # homogeneous medium -> same sampled length as the base
+            # (the 1(t<L)/surv(t) pairing must match the base estimator)
+            ok_rc = (okb & reconn & ok_sc & svalid[i][:, None]
+                     & (tc_ < slen[i][:, None]) & (t_new < tLb[None])
+                     & (sc_old_max > 0.0)
+                     & (pdf_old > 1e-20) & (pdf_new > 0.0))
+            sc_r = jnp.stack(
+                [jnp.where(ok_rc, s / jnp.maximum(sc_old[c], 1e-20), 0.0)
+                 for c, s in enumerate((sr, sg, sb_))], axis=-1)
+            wgt_n = (pf_n * k1
+                     / (sin_n * jnp.maximum(surv_n, 1e-9)))[..., None] \
+                * tr_c * tr_bn * sigma_s[:, None, :]
+            c_rc = tab[None] * sc_r * wgt_n * sthr[i][:, None, :]
+            # offset/base intersection-density ratio for the pair MIS
+            pr_rc = (pdf_new / jnp.maximum(pdf_old, 1e-20)
+                     * (surv_n / jnp.maximum(surv_b, 1e-9))
+                     * (tb_ * tb_ / t_new2) * (sin_t / sin_n))
+
+            # ---- identity fallback (null shift: same beam, offset ray)
+            w0i = so[i][:, None, :] - tob[None]
+            bi_ = dot(sd[i][:, None, :], tdb[None])
+            f1i = -dot(w0i, sd[i][:, None, :])
+            f2i = -dot(w0i, tdb[None])
+            deni = 1.0 - bi_ * bi_
+            pari = jnp.abs(deni) < 1e-8
+            dni = jnp.where(pari, 1.0, deni)
+            tci = (f1i - bi_ * f2i) / dni
+            tbi = (bi_ * f1i - f2i) / dni
+            pci = so[i][:, None, :] + sd[i][:, None, :] * tci[..., None]
+            pbi = tob[None] + tdb[None] * tbi[..., None]
+            d2i = jnp.sum((pci - pbi) ** 2, axis=-1)
+            ok_id = (okb & ~reconn & ~pari & svalid[i][:, None]
+                     & (tci > 1e-5) & (tci < slen[i][:, None])
+                     & (tbi > 1e-5) & (tbi < tLb[None]) & (d2i < r2))
+            sin_i = jnp.sqrt(jnp.maximum(deni, 1e-12))
+            pf_i = pl.phase_params(-bi_, g_cam, pt_cam)
+            surv_i = est.survival_prob(
+                scene, jnp.broadcast_to(mi[:, None], b.shape), tbi)
+            tr_ci = jnp.exp(-st_c[:, None, :] * tci[..., None])
+            tr_bi = jnp.exp(-st_c[:, None, :] * tbi[..., None])
+            wgt_i = (pf_i * k1
+                     / (sin_i * jnp.maximum(surv_i, 1e-9)))[..., None] \
+                * tr_ci * tr_bi * sigma_s[:, None, :]
+            c_id = tab[None] * wgt_i * sthr[i][:, None, :]
+
+            ok_sh = jnp.where(reconn, ok_rc, ok_id)
+            c_sh = jnp.where(reconn[..., None],
+                             jnp.where(ok_rc[..., None], c_rc, 0.0),
+                             jnp.where(ok_id[..., None], c_id, 0.0))
+            pr_l = jnp.where(reconn, pr_rc, 1.0)
+            w = 1.0 / (1.0 + jnp.clip(pr_l * sens[i][:, None], 0.0, 1e12))
+            w = jnp.clip(jnp.where(ok_sh, w, 1.0), 0.0, 1.0)
+            w = jnp.where(border_lane[i][:, None], 1.0, w)
+            S = S.at[i].add(jnp.sum(w[..., None] * c_sh, axis=1))
+            W = W.at[i].add(jnp.sum(
+                jnp.where(okb[..., None], w[..., None] * c_base, 0.0),
+                axis=1))
+            shok = shok + jnp.sum(ok_rc)
+        return (primal, S, W, visits, shok), None
+
+    init = (jnp.zeros((m, 3)), jnp.zeros((4, m, 3)),
+            jnp.zeros((4, m, 3)), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (primal, S, W, visits, shok), _ = lax.scan(
+        tile_step, init, tiles)
+    inv = 1.0 / n_emitted
+    return primal * inv, S * inv, W * inv, visits, shok
+
+
+def beam3d_gradient_gather(scene: Scene, cb, scb_list, lb, n_emitted,
+                           r_beam, key, border_lane, n_samples=2,
+                           tile=256):
+    """3D-kernel beam gradient gather with light-side reconnection.
+
+    Base estimator = estimators.beam_point_gather (sampled camera point
+    x, one stratified chord sample per (point, beam)). The shift maps
+    the base chord sample y to the offset frame preserving the camera
+    distance t and the kernel offset (y - x), then re-emits the beam
+    from its origin vertex A through y' (reference shiftBeamME/Diffuse
+    dispatch, shift_volume_beams.h:408-457 — diffuse branch; null/
+    identity fallback for non-reconnectable origins). MIS density
+    ratio: direction pdf x solid-angle-to-point (t^2) x survival x
+    chord (the stochastic chord-sample pdf is 1/chord).
+    Returns (primal [M,3], S [4,M,3], W [4,M,3], visits, shift_ok).
+    """
+    from ..core.math import dot
+    from . import estimators as est
+    from ..render import phase as phm
+
+    oc, dc, lc = cb["o"], cb["d"], cb["length"]
+    mi, cvalid, cthr = cb["med"], cb["valid"], cb["thr"]
+    m = oc.shape[0]
+    _, sigma_s, st_c = med._tables(scene, mi)
+    mic = jnp.clip(mi, 0, scene.med_g.shape[0] - 1)
+    g_cam = scene.med_g[mic][:, None]
+    pt_cam = scene.med_phase[mic][:, None]
+    k3 = 3.0 / (4.0 * jnp.pi * jnp.maximum(r_beam ** 3, 1e-18))
+    r2 = r_beam * r_beam
+
+    so = [s["o"] for s in scb_list]
+    sd = [s["d"] for s in scb_list]
+    sthr = [s["thr"] for s in scb_list]
+    slen = [s["length"] for s in scb_list]
+    svalid = [s["valid"] & (s["med"] == mi) & cvalid for s in scb_list]
+    # sensorMIS camera-subpath pdf ratio (gvpm_struct.h:608-631)
+    sens = [jnp.clip(scb_list[i]["pdf_prod"]
+                     / jnp.maximum(cb["pdf_prod"], 1e-20), 1e-4, 1e4)
+            for i in range(4)]
+
+    fields = dict(lb)
+    fields.update(_bake_beam_params(scene, lb))
+    nb = lb["o"].shape[0]
+    n_tiles = -(-nb // tile)
+    pad = n_tiles * tile - nb
+
+    def tl(a):
+        a = jnp.pad(a.astype(jnp.float32) if a.dtype == jnp.bool_ else a,
+                    [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_tiles, tile) + a.shape[1:])
+
+    tiles = {k: tl(fields[k]) for k in _BEAM_F3 + _BEAM_F1}
+
+    def p3(a):
+        return (a[None, :, 0], a[None, :, 1], a[None, :, 2])
+
+    def one_sample(k):
+        k_t, k_s = jax.random.split(k)
+        u = jax.random.uniform(k_t, (m,))
+        ms = med.sample_distance(scene, mi, oc, dc, lc, u,
+                                 strategy=med.ALWAYS_VALID)
+        x = ms.p
+        t_cam = ms.t
+        sok = cvalid & ms.success
+        pdf_base_ray = jnp.maximum(ms.pdf_success, 1e-20)
+        w_cam = cthr * ms.transmittance * ms.sigma_s \
+            / pdf_base_ray[..., None]
+
+        xs, cam_ok, pr_cam, thr_c = [], [], [], []
+        for i in range(4):
+            ok_i = sok & svalid[i] & (slen[i] >= t_cam)
+            xs.append(so[i] + sd[i] * t_cam[..., None])
+            ps_i, _ = med.pdf_distance(scene, mi, t_cam, slen[i],
+                                       jnp.zeros_like(sok),
+                                       strategy=med.ALWAYS_VALID)
+            pr_cam.append(ps_i / pdf_base_ray * sens[i])
+            cam_ok.append(ok_i)
+            thr_c.append(sthr[i] * ms.transmittance * ms.sigma_s
+                         / pdf_base_ray[..., None])
+
+        def tile_step(acc, tt):
+            ti, t = tt
+            primal, S, W, visits, shok = acc
+            tob, tdb, tLb, tab = t["o"], t["d"], t["length"], t["alpha"]
+            tvb = t["valid"] > 0.5
+            tmb = t["med"].astype(jnp.int32)
+
+            rel = x[:, None, :] - tob[None]
+            s_mid = dot(rel, tdb[None])
+            perp = rel - tdb[None] * s_mid[..., None]
+            d2p = jnp.sum(perp * perp, axis=-1)
+            half = jnp.sqrt(jnp.maximum(r2 - d2p, 0.0))
+            s0 = jnp.maximum(s_mid - half, 0.0)
+            s1 = jnp.minimum(s_mid + half, tLb[None])
+            chord = jnp.maximum(s1 - s0, 0.0)
+            okb = sok[:, None] & tvb[None] & (chord > 0.0) \
+                & (mi[:, None] == tmb[None])
+            us = jax.random.uniform(jax.random.fold_in(k_s, ti),
+                                    s_mid.shape)
+            s = s0 + us * chord
+            y = tob[None] + tdb[None] * s[..., None]
+            dist2 = jnp.sum((x[:, None, :] - y) ** 2, axis=-1)
+            okb = okb & (dist2 < r2)
+            cos_b = dot(tdb[None], dc[:, None, :])
+            pf_b = pl.phase_params(-cos_b, g_cam, pt_cam)
+            tr_b = jnp.exp(-st_c[:, None, :] * s[..., None])
+            surv_b = est.survival_prob(
+                scene, jnp.broadcast_to(mi[:, None], s.shape), s)
+            c_loc = tab[None] * tr_b \
+                * (chord * k3 * pf_b / jnp.maximum(surv_b, 1e-9))[..., None]
+            c_base = jnp.where(okb[..., None], c_loc, 0.0) \
+                * w_cam[:, None, :]
+            primal = primal + jnp.sum(c_base, axis=1)
+            visits = visits + jnp.sum(okb)
+
+            A = t["parent_p"]
+            pwi = p3(t["parent_wi"])
+            pns = p3(t["parent_ns"])
+            ptype = t["parent_type"].astype(jnp.int32)[None]
+            reconn = (t["reconnectable"] > 0.5)[None]
+            sc_old = p3(t["scatter_base"])
+            pdf_old = t["pdf_dir_base"][None]
+            bparams = dict(btype=t["bp_btype"].astype(jnp.int32)[None],
+                           alb=p3(t["bp_alb"]), spec=p3(t["bp_spec"]),
+                           eta3=p3(t["bp_eta3"]),
+                           alpha=t["bp_alpha"][None],
+                           eta1=t["bp_eta1"][None])
+            mparams = dict(sigs=p3(t["bp_sigs"]), g=t["bp_g"][None],
+                           ptype=t["bp_ptype"].astype(jnp.int32)[None])
+            sc_old_max = jnp.maximum(jnp.maximum(sc_old[0], sc_old[1]),
+                                     sc_old[2])
+
+            for i in range(4):
+                # ---- reconnection branch ----
+                y_i = xs[i][:, None, :] + (y - x[:, None, :])
+                dv = y_i - A[None]
+                t_new2 = jnp.maximum(jnp.sum(dv * dv, axis=-1), 1e-12)
+                t_new = jnp.sqrt(t_new2)
+                w_new = tuple(dv[..., c] / t_new for c in range(3))
+                sr, sg, sb_, pdf_new, ok_sc = pl.parent_scatter_params(
+                    ptype, pwi, pns, bparams, mparams, w_new)
+                # chord of the NEW beam inside the offset kernel sphere
+                rel_n = xs[i][:, None, :] - A[None]
+                sm_n = (rel_n[..., 0] * w_new[0] + rel_n[..., 1] * w_new[1]
+                        + rel_n[..., 2] * w_new[2])
+                d2p_n = jnp.sum(rel_n * rel_n, axis=-1) - sm_n * sm_n
+                half_n = jnp.sqrt(jnp.maximum(r2 - d2p_n, 0.0))
+                s0n = jnp.maximum(sm_n - half_n, 0.0)
+                # offset beam length = base stored length (same
+                # free-flight randoms, same homogeneous medium); keeps
+                # the chord/1(t<L)/surv form symmetric with the base
+                s1n = jnp.minimum(sm_n + half_n, tLb[None])
+                chord_n = jnp.maximum(s1n - s0n, 0.0)
+                cos_x = (w_new[0] * sd[i][:, None, 0]
+                         + w_new[1] * sd[i][:, None, 1]
+                         + w_new[2] * sd[i][:, None, 2])
+                pf_n = pl.phase_params(-cos_x, g_cam, pt_cam)
+                surv_n = est.survival_prob(
+                    scene, jnp.broadcast_to(mi[:, None], s.shape), t_new)
+                tr_bn = jnp.exp(-st_c[:, None, :] * t_new[..., None])
+                ok_rc = (okb & reconn & ok_sc & cam_ok[i][:, None]
+                         & (chord_n > 0.0) & (t_new >= s0n)
+                         & (t_new <= s1n) & (sc_old_max > 0.0)
+                         & (pdf_old > 1e-20) & (pdf_new > 0.0))
+                sc_r = jnp.stack(
+                    [jnp.where(ok_rc,
+                               sv / jnp.maximum(sc_old[c], 1e-20), 0.0)
+                     for c, sv in enumerate((sr, sg, sb_))], axis=-1)
+                c_rc = tab[None] * sc_r * tr_bn \
+                    * (chord_n * k3 * pf_n
+                       / jnp.maximum(surv_n, 1e-9))[..., None] \
+                    * thr_c[i][:, None, :]
+                pr_rc = (pdf_new / jnp.maximum(pdf_old, 1e-20)
+                         * (surv_n / jnp.maximum(surv_b, 1e-9))
+                         * (s * s / t_new2)
+                         * (chord / jnp.maximum(chord_n, 1e-12)))
+
+                # ---- identity fallback ----
+                rel_i = xs[i][:, None, :] - tob[None]
+                sm_i = dot(rel_i, tdb[None])
+                perp_i = rel_i - tdb[None] * sm_i[..., None]
+                d2p_i = jnp.sum(perp_i * perp_i, axis=-1)
+                half_i = jnp.sqrt(jnp.maximum(r2 - d2p_i, 0.0))
+                s0i = jnp.maximum(sm_i - half_i, 0.0)
+                s1i = jnp.minimum(sm_i + half_i, tLb[None])
+                chord_i = jnp.maximum(s1i - s0i, 0.0)
+                s_id = s0i + us * chord_i
+                y_id = tob[None] + tdb[None] * s_id[..., None]
+                dist2_i = jnp.sum((xs[i][:, None, :] - y_id) ** 2, axis=-1)
+                ok_id = (okb & ~reconn & cam_ok[i][:, None]
+                         & (chord_i > 0.0) & (dist2_i < r2))
+                cos_i = dot(tdb[None], sd[i][:, None, :])
+                pf_i = pl.phase_params(-cos_i, g_cam, pt_cam)
+                tr_bid = jnp.exp(-st_c[:, None, :] * s_id[..., None])
+                surv_i = est.survival_prob(
+                    scene, jnp.broadcast_to(mi[:, None], s.shape), s_id)
+                c_id = tab[None] * tr_bid \
+                    * (chord_i * k3 * pf_i
+                       / jnp.maximum(surv_i, 1e-9))[..., None] \
+                    * thr_c[i][:, None, :]
+
+                ok_sh = jnp.where(reconn, ok_rc, ok_id)
+                c_sh = jnp.where(reconn[..., None],
+                                 jnp.where(ok_rc[..., None], c_rc, 0.0),
+                                 jnp.where(ok_id[..., None], c_id, 0.0))
+                pr_l = jnp.where(reconn, pr_rc, 1.0)
+                w = 1.0 / (1.0 + jnp.clip(pr_l * pr_cam[i][:, None],
+                                          0.0, 1e12))
+                w = jnp.clip(jnp.where(ok_sh, w, 1.0), 0.0, 1.0)
+                w = jnp.where(border_lane[i][:, None], 1.0, w)
+                S = S.at[i].add(jnp.sum(w[..., None] * c_sh, axis=1))
+                W = W.at[i].add(jnp.sum(
+                    jnp.where(okb[..., None], w[..., None] * c_base, 0.0),
+                    axis=1))
+                shok = shok + jnp.sum(ok_rc)
+            return (primal, S, W, visits, shok), None
+
+        init = (jnp.zeros((m, 3)), jnp.zeros((4, m, 3)),
+                jnp.zeros((4, m, 3)), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32))
+        (pr, S, W, v, sk), _ = lax.scan(
+            tile_step, init, (jnp.arange(n_tiles), tiles))
+        return pr, S, W, v, sk
+
+    keys = jax.random.split(key, n_samples)
+    primal = jnp.zeros((m, 3))
+    S = jnp.zeros((4, m, 3))
+    W = jnp.zeros((4, m, 3))
+    visits = jnp.zeros((), jnp.int32)
+    shok = jnp.zeros((), jnp.int32)
+    for k in keys:
+        p_, S_, W_, v_, sk_ = one_sample(k)
+        primal, S, W = primal + p_, S + S_, W + W_
+        visits, shok = visits + v_, shok + sk_
+    inv = 1.0 / (n_samples * n_emitted)
+    return primal * inv, S * inv, W * inv, visits, shok
+
+
+def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
+                          border_lane, tile=256):
+    """0D photon-plane gradient gather with the medium-ROTATION shift.
+
+    Reference mediumRotationShift (shift/operation/shift_medium.h:39,
+    PlaneGradRadianceQuery shift_volume_planes.h:57): the offset plane
+    is the base plane rotated about its origin vertex po by the minimal
+    rotation R taking a=(y-po)/|.| to b=(y'-po)/|.|, where y is the
+    base intersection and y' = o_i + d_i * tcam the offset camera point
+    at the SAME camera distance. Because y-po = t0*w0 + t1*w1 lies in
+    the plane, the line po + s*b lies in the ROTATED plane, so y' is on
+    it with parameters (t0,t1) * |y'-po|/|y-po| — the offset
+    intersection is analytic, no re-intersection. Rotation preserves
+    the w0/w1 angle, so the plane-extension phase value/pdf cancel
+    exactly; the remaining ratios are the origin scatter lobe toward
+    R w0 (diffuse reconnection at po, parent caches on the generating
+    beam), survivals at the scaled parameters, and the camera-side
+    phase/transmittance/|det| at the rotated frame. Non-reconnectable
+    origins fall back to the identity shift (same plane, offset ray:
+    shiftNull3D). Returns (primal, S, W, visits, shift_ok).
+    """
+    from ..core.math import dot
+    from . import estimators as est
+
+    oc, dc, lc = cb["o"], cb["d"], cb["length"]
+    mi, cvalid, cthr = cb["med"], cb["valid"], cb["thr"]
+    m = oc.shape[0]
+    _, sigma_s, st_c = med._tables(scene, mi)
+    mic = jnp.clip(mi, 0, scene.med_g.shape[0] - 1)
+    g_cam = scene.med_g[mic][:, None]
+    pt_cam = scene.med_phase[mic][:, None]
+
+    so = [s["o"] for s in scb_list]
+    sd = [s["d"] for s in scb_list]
+    sthr = [s["thr"] for s in scb_list]
+    slen = [s["length"] for s in scb_list]
+    svalid = [s["valid"] & (s["med"] == mi) & cvalid for s in scb_list]
+    # sensorMIS camera-subpath pdf ratio (gvpm_struct.h:608-631)
+    sens = [jnp.clip(scb_list[i]["pdf_prod"]
+                     / jnp.maximum(cb["pdf_prod"], 1e-20), 1e-4, 1e4)
+            for i in range(4)]
+
+    fields = dict(planes)
+    fields.update(_bake_beam_params(scene, planes))
+    npl = planes["o"].shape[0]
+    n_tiles = -(-npl // tile)
+    pad = n_tiles * tile - npl
+
+    def tl(a):
+        a = jnp.pad(a.astype(jnp.float32) if a.dtype == jnp.bool_ else a,
+                    [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_tiles, tile) + a.shape[1:])
+
+    keys = ("o", "w0", "l0", "w1", "l1", "alpha", "med", "valid",
+            "surv1_sigma", "parent_p", "parent_wi", "parent_ns",
+            "scatter_base", "pdf_dir_base", "parent_type",
+            "reconnectable", "bp_btype", "bp_alb", "bp_spec", "bp_eta3",
+            "bp_alpha", "bp_eta1", "bp_sigs", "bp_g", "bp_ptype")
+    tiles = {k: tl(fields[k]) for k in keys}
+
+    def p3(a):
+        return (a[None, :, 0], a[None, :, 1], a[None, :, 2])
+
+    def rodrigues(v, kx, ky, kz, cos_r, sin_r):
+        """Rotate [M,T,3] v about unit axis planes (kx,ky,kz)."""
+        kdv = kx * v[..., 0] + ky * v[..., 1] + kz * v[..., 2]
+        cx = ky * v[..., 2] - kz * v[..., 1]
+        cy = kz * v[..., 0] - kx * v[..., 2]
+        cz = kx * v[..., 1] - ky * v[..., 0]
+        f = kdv * (1.0 - cos_r)
+        return jnp.stack([v[..., 0] * cos_r + cx * sin_r + kx * f,
+                          v[..., 1] * cos_r + cy * sin_r + ky * f,
+                          v[..., 2] * cos_r + cz * sin_r + kz * f],
+                         axis=-1)
+
+    def tile_step(acc, t):
+        primal, S, W, visits, shok = acc
+        po, pw0, pl0 = t["o"], t["w0"], t["l0"]
+        pw1, pl1, pal = t["w1"], t["l1"], t["alpha"]
+        pval = t["valid"] > 0.5
+        pmed = t["med"].astype(jnp.int32)
+        psig = t["surv1_sigma"]
+
+        # ---- base Moller-Trumbore (intersectPlane0D) ----
+        e0 = pw0 * pl0[..., None]
+        e1 = pw1 * pl1[..., None]
+        Pv = jnp.cross(dc[:, None, :], e1[None])
+        det = dot(e0[None], Pv)
+        okb = jnp.abs(det) > 1e-7
+        inv_det = jnp.where(okb, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+        T_ = oc[:, None, :] - po[None]
+        u0 = dot(T_, Pv) * inv_det
+        Q = jnp.cross(T_, e0[None])
+        u1 = dot(dc[:, None, :], Q) * inv_det
+        tcam = dot(e1[None], Q) * inv_det
+        okb = (okb & (u0 >= 0.0) & (u0 <= 1.0) & (u1 >= 0.0) & (u1 <= 1.0)
+               & (tcam > 1e-5) & (tcam < lc[:, None])
+               & cvalid[:, None] & pval[None]
+               & (mi[:, None] == pmed[None]))
+        t0 = u0 * pl0[None]
+        t1 = u1 * pl1[None]
+        tr_cam = jnp.exp(-st_c[:, None, :] * tcam[..., None])
+        cos_cb = dot(pw1[None], dc[:, None, :])
+        pf_b = pl.phase_params(-cos_cb, g_cam, pt_cam)
+        st_p = st_c[:, None, :]
+        tr0 = jnp.exp(-st_p * t0[..., None])
+        tr1 = jnp.exp(-st_p * t1[..., None])
+        surv0 = est.survival_prob(
+            scene, jnp.broadcast_to(mi[:, None], det.shape), t0)
+        surv1 = jnp.exp(-psig[None] * t1)
+        jac = jnp.abs(dot(pw0[None],
+                          jnp.cross(pw1[None],
+                                    jnp.broadcast_to(dc[:, None],
+                                                     Pv.shape))))
+        wgt_b = (tr_cam * tr0 * tr1
+                 * sigma_s[:, None, :] * sigma_s[:, None, :]
+                 * (pf_b / (jnp.maximum(surv0, 1e-9)
+                            * jnp.maximum(surv1, 1e-9)
+                            * jnp.maximum(jac, 1e-6)))[..., None])
+        c_base = jnp.where(okb[..., None], pal[None] * wgt_b, 0.0) \
+            * cthr[:, None, :]
+        primal = primal + jnp.sum(c_base, axis=1)
+        visits = visits + jnp.sum(okb)
+
+        # ---- shift caches ----
+        y = oc[:, None, :] + dc[:, None, :] * tcam[..., None]
+        rel_b = y - po[None]
+        lb_r = jnp.sqrt(jnp.maximum(jnp.sum(rel_b * rel_b, axis=-1),
+                                    1e-16))
+        a_dir = rel_b / lb_r[..., None]
+        pwi = p3(t["parent_wi"])
+        pns = p3(t["parent_ns"])
+        ptype = t["parent_type"].astype(jnp.int32)[None]
+        reconn = (t["reconnectable"] > 0.5)[None]
+        sc_old = p3(t["scatter_base"])
+        pdf_old = t["pdf_dir_base"][None]
+        bparams = dict(btype=t["bp_btype"].astype(jnp.int32)[None],
+                       alb=p3(t["bp_alb"]), spec=p3(t["bp_spec"]),
+                       eta3=p3(t["bp_eta3"]), alpha=t["bp_alpha"][None],
+                       eta1=t["bp_eta1"][None])
+        mparams = dict(sigs=p3(t["bp_sigs"]), g=t["bp_g"][None],
+                       ptype=t["bp_ptype"].astype(jnp.int32)[None])
+        sc_old_max = jnp.maximum(jnp.maximum(sc_old[0], sc_old[1]),
+                                 sc_old[2])
+
+        for i in range(4):
+            # ---- rotation branch ----
+            y_i = so[i][:, None, :] + sd[i][:, None, :] * tcam[..., None]
+            rel_o = y_i - po[None]
+            lo_r2 = jnp.maximum(jnp.sum(rel_o * rel_o, axis=-1), 1e-16)
+            lo_r = jnp.sqrt(lo_r2)
+            b_dir = rel_o / lo_r[..., None]
+            cos_r = jnp.sum(a_dir * b_dir, axis=-1)
+            axis = jnp.cross(a_dir, b_dir)
+            sin_r = jnp.sqrt(jnp.maximum(
+                jnp.sum(axis * axis, axis=-1), 0.0))
+            safe = sin_r > 1e-7
+            k_hat = axis / jnp.maximum(sin_r, 1e-7)[..., None]
+            # sin ~ 0: either identity (cos>0, rotate by nothing) or
+            # antipodal (fail)
+            w0_r = jnp.where(
+                safe[..., None],
+                rodrigues(jnp.broadcast_to(pw0[None], y.shape),
+                          k_hat[..., 0], k_hat[..., 1], k_hat[..., 2],
+                          cos_r, sin_r),
+                jnp.broadcast_to(pw0[None], y.shape))
+            w1_r = jnp.where(
+                safe[..., None],
+                rodrigues(jnp.broadcast_to(pw1[None], y.shape),
+                          k_hat[..., 0], k_hat[..., 1], k_hat[..., 2],
+                          cos_r, sin_r),
+                jnp.broadcast_to(pw1[None], y.shape))
+            scale = lo_r / lb_r
+            t0_n = t0 * scale
+            t1_n = t1 * scale
+            ok_geo = (safe | (cos_r > 0.0)) & (t0_n <= pl0[None]) \
+                & (t1_n <= pl1[None])
+
+            wn = (w0_r[..., 0], w0_r[..., 1], w0_r[..., 2])
+            sr, sg, sb_, pdf_new, ok_sc = pl.parent_scatter_params(
+                ptype, pwi, pns, bparams, mparams, wn)
+            cos_ci = (w1_r[..., 0] * sd[i][:, None, 0]
+                      + w1_r[..., 1] * sd[i][:, None, 1]
+                      + w1_r[..., 2] * sd[i][:, None, 2])
+            pf_n = pl.phase_params(-cos_ci, g_cam, pt_cam)
+            tr0n = jnp.exp(-st_p * t0_n[..., None])
+            tr1n = jnp.exp(-st_p * t1_n[..., None])
+            surv0n = est.survival_prob(
+                scene, jnp.broadcast_to(mi[:, None], det.shape), t0_n)
+            surv1n = jnp.exp(-psig[None] * t1_n)
+            jac_n = jnp.abs(
+                jnp.sum(w0_r * jnp.cross(w1_r, sd[i][:, None, :]),
+                        axis=-1))
+            ok_rc = (okb & reconn & ok_sc & svalid[i][:, None] & ok_geo
+                     & (tcam < slen[i][:, None]) & (jac_n > 1e-6)
+                     & (sc_old_max > 0.0) & (pdf_old > 1e-20)
+                     & (pdf_new > 0.0))
+            sc_r = jnp.stack(
+                [jnp.where(ok_rc, sv / jnp.maximum(sc_old[c], 1e-20), 0.0)
+                 for c, sv in enumerate((sr, sg, sb_))], axis=-1)
+            wgt_n = (tr_cam * tr0n * tr1n
+                     * sigma_s[:, None, :] * sigma_s[:, None, :]
+                     * (pf_n / (jnp.maximum(surv0n, 1e-9)
+                                * jnp.maximum(surv1n, 1e-9)
+                                * jnp.maximum(jac_n, 1e-6)))[..., None])
+            c_rc = pal[None] * sc_r * wgt_n * sthr[i][:, None, :]
+            pr_rc = (pdf_new / jnp.maximum(pdf_old, 1e-20)
+                     * (surv0n / jnp.maximum(surv0, 1e-9))
+                     * (surv1n / jnp.maximum(surv1, 1e-9))
+                     * (jac / jnp.maximum(jac_n, 1e-6))
+                     / jnp.maximum(scale * scale, 1e-12))
+
+            # ---- identity fallback: same plane, offset ray ----
+            Pvi = jnp.cross(sd[i][:, None, :], e1[None])
+            deti = dot(e0[None], Pvi)
+            oki = jnp.abs(deti) > 1e-7
+            inv_di = jnp.where(oki, 1.0 / jnp.where(deti == 0, 1.0, deti),
+                               0.0)
+            Ti = so[i][:, None, :] - po[None]
+            u0i = dot(Ti, Pvi) * inv_di
+            Qi = jnp.cross(Ti, e0[None])
+            u1i = dot(sd[i][:, None, :], Qi) * inv_di
+            tci = dot(e1[None], Qi) * inv_di
+            ok_id = (okb & ~reconn & oki & svalid[i][:, None]
+                     & (u0i >= 0.0) & (u0i <= 1.0)
+                     & (u1i >= 0.0) & (u1i <= 1.0)
+                     & (tci > 1e-5) & (tci < slen[i][:, None]))
+            t0i = u0i * pl0[None]
+            t1i = u1i * pl1[None]
+            tr_ci = jnp.exp(-st_c[:, None, :] * tci[..., None])
+            cos_ii = dot(pw1[None], sd[i][:, None, :])
+            pf_i = pl.phase_params(-cos_ii, g_cam, pt_cam)
+            tr0i = jnp.exp(-st_p * t0i[..., None])
+            tr1i = jnp.exp(-st_p * t1i[..., None])
+            surv0i = est.survival_prob(
+                scene, jnp.broadcast_to(mi[:, None], det.shape), t0i)
+            surv1i = jnp.exp(-psig[None] * t1i)
+            jaci = jnp.abs(dot(pw0[None],
+                               jnp.cross(pw1[None], jnp.broadcast_to(
+                                   sd[i][:, None, :], Pv.shape))))
+            wgt_i = (tr_ci * tr0i * tr1i
+                     * sigma_s[:, None, :] * sigma_s[:, None, :]
+                     * (pf_i / (jnp.maximum(surv0i, 1e-9)
+                                * jnp.maximum(surv1i, 1e-9)
+                                * jnp.maximum(jaci, 1e-6)))[..., None])
+            c_id = pal[None] * wgt_i * sthr[i][:, None, :]
+
+            ok_sh = jnp.where(reconn, ok_rc, ok_id)
+            c_sh = jnp.where(reconn[..., None],
+                             jnp.where(ok_rc[..., None], c_rc, 0.0),
+                             jnp.where(ok_id[..., None], c_id, 0.0))
+            pr_l = jnp.where(reconn, pr_rc, 1.0)
+            w = 1.0 / (1.0 + jnp.clip(pr_l * sens[i][:, None], 0.0, 1e12))
+            w = jnp.clip(jnp.where(ok_sh, w, 1.0), 0.0, 1.0)
+            w = jnp.where(border_lane[i][:, None], 1.0, w)
+            S = S.at[i].add(jnp.sum(w[..., None] * c_sh, axis=1))
+            W = W.at[i].add(jnp.sum(
+                jnp.where(okb[..., None], w[..., None] * c_base, 0.0),
+                axis=1))
+            shok = shok + jnp.sum(ok_rc)
+        return (primal, S, W, visits, shok), None
+
+    init = (jnp.zeros((m, 3)), jnp.zeros((4, m, 3)),
+            jnp.zeros((4, m, 3)), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (primal, S, W, visits, shok), _ = lax.scan(tile_step, init, tiles)
+    inv = 1.0 / n_emitted
+    return primal * inv, S * inv, W * inv, visits, shok

@@ -89,6 +89,10 @@ def surface_gradient_gather(scene: Scene, base, sgps, grid, pp, pv,
 
         for i in range(4):
             ssx, ttx, wo_loc_s = sgp_frames[i]
+            # sensorMIS (gvpm_struct.h:608-631)
+            sens_i = jnp.clip(sgps[i].pdf_prod
+                              / jnp.maximum(base.pdf_prod, 1e-20),
+                              1e-4, 1e4)
             new_p = sgps[i].p + (pp[idx] - base.p)
             a_s, pdf_ratio, ok_s = shift.reconnect_photon(
                 scene, pv, idx, new_p, target_is_volume=False)
@@ -99,7 +103,7 @@ def surface_gradient_gather(scene: Scene, base, sgps, grid, pp, pv,
             f_s, _ = eval_bsdf(scene, sgps[i].bsdf, wo_loc_s, wi_loc_s)
             ok_i = ok_s & comp[i] & inside
             c_shift = sgps[i].thr * a_s * f_s * k2 * scale[..., None]
-            w = shift.mis_weight(pdf_ratio, 1.0, ok=ok_i)
+            w = shift.mis_weight(pdf_ratio, sens_i, ok=ok_i)
             w = jnp.where(border[i], 1.0, w)
             S = S.at[i].add(jnp.where(ok_i[..., None],
                                       w[..., None] * c_shift, 0.0))
@@ -157,7 +161,11 @@ def volume_gradient_gather(scene: Scene, cb, scb_list, grid, pp, pv,
             ps_i, _ = med.pdf_distance(scene, mi, t, slen[i],
                                        jnp.zeros_like(sok),
                                        strategy=med.ALWAYS_VALID)
-            pdf_ratio_cam.append(ps_i / pdf_base_ray)
+            pdf_ratio_cam.append(
+                ps_i / pdf_base_ray
+                * jnp.clip(scb_list[i]["pdf_prod"]
+                           / jnp.maximum(cb["pdf_prod"], 1e-20),
+                           1e-4, 1e4))
             cam_ok.append(ok_i)
             # shifted camera factor: thr' * Tr(t) * sigma_s / pdf_base
             thr_s.append(sthr[i] * ms.transmittance * ms.sigma_s
@@ -273,7 +281,10 @@ def volume_gradient_bre(scene: Scene, cb, scb_list, grid, pp, pv,
                 ok_i = ok_i & ok_s
                 c_shift = sthr[i] * a_s * sigma_s * tr \
                     * (pf_s * k2 * scale)[..., None]
-                w = shift.mis_weight(pdf_ratio_l, 1.0, ok=ok_i)
+                sens_i = jnp.clip(scb_list[i]["pdf_prod"]
+                                  / jnp.maximum(cb["pdf_prod"], 1e-20),
+                                  1e-4, 1e4)
+                w = shift.mis_weight(pdf_ratio_l, sens_i, ok=ok_i)
                 w = jnp.where(border_lane[i], 1.0, w)
                 S = S.at[i].add(jnp.where(ok_i[..., None],
                                           w[..., None] * c_shift, 0.0))
@@ -327,16 +338,37 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
 
     pp = photons["p"]
 
+    # ---- photon admissibility flags ----
+    # cameraSphere: drop photons stored within a sensor-centred sphere
+    # (gvpm_accel.h:221 isValidPhoton — kills the huge-kernel fireflies
+    # of photons landing next to the lens). minDepth: drop photons from
+    # paths shorter than minDepth (GPMConfig minDepth, gvpm_struct.h).
+    keep = jnp.ones(pp.shape[0], bool)
+    if cfg.camera_sphere > 0.0:
+        cam_o = scene.cam_to_world[:3, 3]
+        d2cam = jnp.sum((pp - cam_o[None]) ** 2, axis=-1)
+        keep = keep & (d2cam > cfg.camera_sphere ** 2)
+    if cfg.min_depth > 0:
+        keep = keep & (photons["depth"] >= cfg.min_depth)
+    # nullShift debug mode (GPMConfig nullShift): force every light
+    # shift to the identity/unilateral branch by clearing the
+    # reconnectable flags end to end
+    if cfg.shift_null:
+        photons = dict(photons, reconnectable=jnp.zeros_like(
+            photons["reconnectable"]))
+        beams = dict(beams, reconnectable=jnp.zeros_like(
+            beams["reconnectable"]))
+
     def flat_cb(c):
         cd = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), c)
         return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
-                    med=cd.med, thr=cd.thr)
+                    med=cd.med, thr=cd.thr, pdf_prod=cd.pdf_prod)
 
     # ---- surface (dense planar path, gradient_gather.py) ----
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
-    surf_valid = photons["vtype"] == ptracer.VERT_SURFACE
+    surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
     cell = 2.0 * jnp.maximum(
         jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
     packed = gradient_gather.pack_photons(scene, photons)
@@ -355,7 +387,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     # ---- volume (VPM distance | BRE) ----
     if volume in ("distance", "bre"):
         r_vol = r_vol_base * vol_scale
-        med_valid = photons["vtype"] == ptracer.VERT_MEDIUM
+        med_valid = (photons["vtype"] == ptracer.VERT_MEDIUM) & keep
         grid_v, packed_v = hashgrid.build_sorted(
             pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed,
             hash_size=cfg.grid_hash_size)
@@ -401,15 +433,67 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
         W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
 
-    # ---- volume (photon beams 1D/3D, photon planes 0D) ----
-    # Gradient strategy: IDENTITY shift on the light path (the stored
-    # beams/planes are reused verbatim) paired with the retraced offset
-    # camera segments. This is the reference's nullShift mode
-    # (GPMConfig nullShift, gvpm_struct.h; shiftNull3D
-    # shift_volume_beams.cpp:748): deterministic base<->offset mapping,
-    # Jacobian 1, symmetric weight 1/2 — unbiased, with reconnection /
-    # ME beam shifts as the variance-reduction upgrade path.
-    elif volume in ("beam1d", "beam3d", "plane0d"):
+    # ---- volume photon beams 1D: pairwise reconnection shift ----
+    # (shiftBeamDiffuse, shift_volume_beams.h:408-457; identity/null
+    # fallback for non-reconnectable beam origins, shiftNull3D)
+    elif volume == "beam1d":
+        r_b = r_vol_base * vol_scale
+        cb = flat_cb(cam_beams)
+        scb_list = [flat_cb(c) for c in scbs]
+        n_steps = cam_beams.valid.shape[0]
+        lane_full = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
+        budget = min(cb["valid"].shape[0], n * cfg.vol_segments_per_pixel)
+        order = jnp.argsort(~cb["valid"])[:budget]
+        cb = {kk: vv[order] for kk, vv in cb.items()}
+        scb_list = [{kk: vv[order] for kk, vv in s.items()}
+                    for s in scb_list]
+        lane = lane_full[order]
+        border_lane = jnp.stack([border[i][lane] for i in range(4)])
+
+        p_v, S_v, W_v, v_v, so_v = gradient_gather.beam_gradient_gather(
+            scene, cb, scb_list, beams, n_photons, r_b, border_lane,
+            tile=cfg.beam_tile)
+        visits = visits + jnp.sum(v_v)
+        shift_ok = shift_ok + jnp.sum(so_v)
+
+        def to_px(a):
+            out = jnp.zeros((n, 3))
+            return out.at[lane].add(a, mode="drop")
+        p_s = p_s + to_px(p_v)
+        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
+        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
+
+    # ---- volume (photon beams 3D, photon planes 0D) ----
+    # ---- photon planes 0D: medium-rotation shift (shift_medium.h:39),
+    # identity/null fallback for non-reconnectable plane origins ----
+    elif volume == "beam3d":
+        r_b = r_vol_base * vol_scale
+        cb = flat_cb(cam_beams)
+        scb_list = [flat_cb(c) for c in scbs]
+        n_steps = cam_beams.valid.shape[0]
+        lane_full = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
+        budget = min(cb["valid"].shape[0], n * cfg.vol_segments_per_pixel)
+        order = jnp.argsort(~cb["valid"])[:budget]
+        cb = {kk: vv[order] for kk, vv in cb.items()}
+        scb_list = [{kk: vv[order] for kk, vv in s.items()}
+                    for s in scb_list]
+        lane = lane_full[order]
+        border_lane = jnp.stack([border[i][lane] for i in range(4)])
+
+        p_v, S_v, W_v, v_v, so_v = gradient_gather.beam3d_gradient_gather(
+            scene, cb, scb_list, beams, n_photons, r_b, k_gather,
+            border_lane, n_samples=cfg.volume_samples, tile=cfg.beam_tile)
+        visits = visits + jnp.sum(v_v)
+        shift_ok = shift_ok + jnp.sum(so_v)
+
+        def to_px(a):
+            out = jnp.zeros((n, 3))
+            return out.at[lane].add(a, mode="drop")
+        p_s = p_s + to_px(p_v)
+        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
+        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
+
+    elif volume == "plane0d":
         r_b = r_vol_base * vol_scale
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
@@ -425,42 +509,19 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         cb["pixel"] = lane
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
-        if volume == "plane0d":
-            planes = estimators.make_planes(scene, beams, k_gather)
-
-            def eval_seg(cbd):
-                return estimators.plane_gather(
-                    scene, cbd, planes, n_photons,
-                    tile=cfg.beam_tile)[0]
-        elif volume == "beam1d":
-            def eval_seg(cbd):
-                return estimators.beam_beam_gather(
-                    scene, cbd, beams, n_photons, r_b,
-                    tile=cfg.beam_tile)[0]
-        else:  # beam3d
-            def eval_seg(cbd):
-                return estimators.beam_point_gather(
-                    scene, cbd, beams, n_photons, r_b, k_gather,
-                    n_samples=cfg.volume_samples, tile=cfg.beam_tile)[0]
-
-        L_base = jnp.where(cb["valid"][..., None], eval_seg(cb), 0.0)
+        planes = estimators.make_planes(scene, beams, k_gather)
+        p_v, S_v, W_v, v_v, so_v = gradient_gather.plane_gradient_gather(
+            scene, cb, scb_list, planes, n_photons, border_lane,
+            tile=cfg.beam_tile)
+        visits = visits + jnp.sum(v_v)
+        shift_ok = shift_ok + jnp.sum(so_v)
 
         def to_px(a):
             out = jnp.zeros((n, 3))
             return out.at[lane].add(a, mode="drop")
-
-        p_s = p_s + to_px(L_base)
-        for i in range(4):
-            s_i = dict(scb_list[i])
-            s_i["pixel"] = lane
-            sh_ok = s_i["valid"] & (s_i["med"] == cb["med"]) \
-                & cb["valid"]
-            L_i = jnp.where(sh_ok[..., None], eval_seg(s_i), 0.0)
-            w = jnp.where(border_lane[i], 1.0,
-                          jnp.where(sh_ok, 0.5, 1.0))
-            S_s = S_s.at[i].add(to_px(jnp.where(
-                sh_ok[..., None], w[..., None] * L_i, 0.0)))
-            W_s = W_s.at[i].add(to_px(w[..., None] * L_base))
+        p_s = p_s + to_px(p_v)
+        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
+        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
 
     # ---- directly-seen emission (directTracing, gvpm.cpp:1231-1240) ----
     p_s = p_s + base.emission

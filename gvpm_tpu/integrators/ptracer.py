@@ -100,6 +100,21 @@ class LightBeams:
     med: jnp.ndarray      # [S,P] int32 medium of the segment
     path: jnp.ndarray     # [S,P] int32
     depth: jnp.ndarray    # [S,P] int32 scatter count before this edge
+    # ---- shift caches: the vertex that EMITS this beam segment ----
+    # (reference shiftBeamDiffuse, shift_volume_beams.h:408-457: the
+    # offset beam keeps this origin vertex and re-samples its direction;
+    # the ratios need the origin's scatter lobe and pdf.)
+    parent_p: jnp.ndarray      # [S,P,3] scatter vertex the beam leaves
+    parent_type: jnp.ndarray   # [S,P] int32 VERT_NONE(emitter)/SURF/MED
+    parent_wi: jnp.ndarray     # [S,P,3] direction arriving at that vertex
+    parent_ns: jnp.ndarray     # [S,P,3]
+    parent_bsdf: jnp.ndarray   # [S,P] int32
+    parent_med: jnp.ndarray    # [S,P] int32
+    scatter_base: jnp.ndarray  # [S,P,3] scatter value toward d
+    pdf_dir_base: jnp.ndarray  # [S,P]
+    reconnectable: jnp.ndarray  # [S,P] bool: origin lobe admits a
+    #   direction re-sample AND the segment starts at the vertex itself
+    #   (false after a null-boundary crossing, where o != parent_p)
 
 
 def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
@@ -128,6 +143,7 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
         pp_scatter=em["scatter"],
         pp_pdf_dir=em["pdf_dir"], pp_reconn=em["reconnectable"],
         pp_idx=jnp.full((n,), -1, jnp.int32),
+        pp_at_origin=jnp.ones((n,), bool),
         seg_tr=jnp.ones((n, 3)), seg_pdffail=jnp.ones((n,)),
     )
     step_keys = jax.random.split(k_walk, n_steps)
@@ -157,7 +173,15 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
         beam = dict(valid=beam_valid, o=o, d=d,
                     length=jnp.where(jnp.isfinite(seg_len), seg_len, 0.0),
                     alpha=alpha, med=cur_med, path=jnp.arange(n, dtype=jnp.int32),
-                    depth=state["depth"])
+                    depth=state["depth"],
+                    parent_p=state["pp_p"], parent_type=state["pp_type"],
+                    parent_wi=state["pp_wi"], parent_ns=state["pp_ns"],
+                    parent_bsdf=state["pp_bsdf"],
+                    parent_med=state["pp_med"],
+                    scatter_base=state["pp_scatter"],
+                    pdf_dir_base=state["pp_pdf_dir"],
+                    reconnectable=state["pp_reconn"]
+                    & state["pp_at_origin"])
 
         # --- vertex record ---
         alpha_in_med = alpha * ms.transmittance / jnp.maximum(
@@ -274,6 +298,9 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
                           jnp.where(mevt, True, reconn_surf)),
             pp_idx=upd(state["pp_idx"],
                        step_i * n + jnp.arange(n, dtype=jnp.int32)),
+            pp_at_origin=jnp.where(stored, True,
+                                   jnp.where(null_cross, False,
+                                             state["pp_at_origin"])),
             seg_tr=jnp.where(stored[..., None], 1.0,
                              jnp.where(null_cross[..., None],
                                        seg_tr_full, state["seg_tr"])),

@@ -59,7 +59,14 @@ def shoot_photons(scene: Scene, cfg: PhotonConfig, n_photons, key):
     lb = jax.tree_util.tree_map(
         lambda a: a.reshape((-1,) + a.shape[2:]), lbeams)
     beams = dict(valid=lb.valid, o=lb.o, d=lb.d, length=lb.length,
-                 alpha=lb.alpha, med=lb.med)
+                 alpha=lb.alpha, med=lb.med,
+                 # shift caches (beam reconnection, gradient_gather)
+                 parent_p=lb.parent_p, parent_type=lb.parent_type,
+                 parent_wi=lb.parent_wi, parent_ns=lb.parent_ns,
+                 parent_bsdf=lb.parent_bsdf, parent_med=lb.parent_med,
+                 scatter_base=lb.scatter_base,
+                 pdf_dir_base=lb.pdf_dir_base,
+                 reconnectable=lb.reconnectable)
     return photons, beams
 
 

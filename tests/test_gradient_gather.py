@@ -50,7 +50,7 @@ def setup():
         cd = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), c)
         return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
-                    med=cd.med, thr=cd.thr)
+                    med=cd.med, thr=cd.thr, pdf_prod=cd.pdf_prod)
 
     cb = flat_cb(cam_beams)
     scb_list = [flat_cb(c) for c in scbs]

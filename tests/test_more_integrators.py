@@ -97,3 +97,16 @@ def test_pssmlt_matches_volpath(ref):
     m = float(jnp.mean(img))
     assert jnp.isfinite(img).all()
     assert 0.7 < m / mref < 1.35, (m, mref)
+
+
+def test_mlt_matches_volpath(ref):
+    """MLT (lens/chain/small/large kernel mixture) is unbiased after
+    normalization: mean matches volpath (mlt.cpp cross-check vs bdpt,
+    data/tests strategy)."""
+    from gvpm_tpu.integrators import mlt
+    scene, mref = ref
+    cfg = VolPathConfig(spp=1, max_depth=5, null_bounces=2)
+    img = mlt.render(scene, cfg, seed=0, n_chains=2048, n_mutations=48)
+    m = float(jnp.mean(img))
+    assert jnp.isfinite(img).all()
+    assert 0.7 < m / mref < 1.35, (m, mref)
