@@ -60,6 +60,17 @@ class PhotonConfig(PathConfig):
     bre_knn: int = 0                  # per-photon BRE radii from local
                                       # density, ~breInitSize kNN (bre.cpp:29)
                                       # 0 = single global radius
+    gather_budget: int = 0            # candidate rows per query in the
+                                      # prefix-compacted dense gather; 0 ->
+                                      # 2*grid_max_photons_per_cell. Strided
+                                      # subsample + T/B compensation on
+                                      # overflow (hashgrid.gather_dense)
+    grid_surface_rows: int = 0        # photon-map row cap for the surface
+                                      # grid (0 = all S*P slots); sorting
+                                      # puts invalid slots last, so the cap
+                                      # only drops real photons when the
+                                      # stored count exceeds it
+    grid_volume_rows: int = 0         # same for the volume photon grid
 
 
 @dataclasses.dataclass(frozen=True)

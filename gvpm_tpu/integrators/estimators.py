@@ -247,6 +247,7 @@ def bre_gather(scene: Scene, beams_cam, grid, pp, pv, n_emitted, r_vol,
                            axis=1)
 
         return acc + hashgrid.gather_dense(grid, x, eval_fn,
+                                           exact_cells=True,
                                            max_per_cell=max_per_cell,
                                            q_tile=q_tile, stencil=stencil)
 

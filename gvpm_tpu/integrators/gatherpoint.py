@@ -66,6 +66,10 @@ class CameraBeams:
     pixel: jnp.ndarray   # [S,N] int32
     spread: jnp.ndarray  # [S,N] pixel footprint angular rate at seg start
     pdf_prod: jnp.ndarray  # [S,N] camera-subpath pdf product at seg start
+    depth: jnp.ndarray   # [S,N] int32 camera scatter count at seg start
+    #   (a medium vertex sampled ON the segment has camera depth
+    #    depth+1 — the per-pair minDepth gate needs it,
+    #    shift_volume_photon.cpp:672)
 
 
 def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
@@ -104,7 +108,7 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
         beam = dict(valid=active & (cur_med >= 0) & (seg_len > 1e-6),
                     o=o, d=d, length=seg_len, med=cur_med, thr=thr,
                     pixel=pixel, spread=spread,
-                    pdf_prod=state["pdfp"])
+                    pdf_prod=state["pdfp"], depth=state["depth"])
 
         tr = med.transmittance(scene, cur_med, seg_len)
         thr_h = thr * tr

@@ -55,7 +55,7 @@ _SLOT3 = ("p", "wi", "alpha", "parent_p", "parent_wi", "parent_ns",
           # does [Qt,M]-indexed table lookups — they pay per-index)
           "pm_alb", "pm_spec", "pm_eta3", "pm_sigs")
 _SLOT1 = ("pdf_dir_base", "parent_type", "parent_bsdf", "parent_med",
-          "reconnectable", "vtype", "bsdf", "prim",
+          "reconnectable", "vtype", "bsdf", "prim", "depth",
           "pm_btype", "pm_alpha", "pm_eta1", "pm_g", "pm_ptype")
 SLOT = {}
 _k = 0
@@ -77,25 +77,27 @@ def pack_photons(scene: Scene, pv):
     folded in at pack time so the inner loop never touches the medium
     tables.
     """
+    from ..core.tables import take
     mi = jnp.clip(pv["med"], 0, scene.med_sigma_a.shape[0] - 1)
     st = jnp.where((pv["med"] >= 0)[..., None],
-                   scene.med_sigma_a[mi] + scene.med_sigma_s[mi], 0.0)
+                   take(scene.med_sigma_a, mi)
+                   + take(scene.med_sigma_s, mi), 0.0)
     bic = jnp.clip(pv["parent_bsdf"], 0, scene.bsdf_type.shape[0] - 1)
     pmi = jnp.clip(pv["parent_med"], 0, scene.med_sigma_s.shape[0] - 1)
     p_in_med = pv["parent_med"] >= 0
     derived3 = dict(
         st=st,
-        pm_alb=scene.bsdf_albedo[bic],
-        pm_spec=scene.bsdf_k[bic],
-        pm_eta3=scene.bsdf_eta3[bic],
+        pm_alb=take(scene.bsdf_albedo, bic),
+        pm_spec=take(scene.bsdf_k, bic),
+        pm_eta3=take(scene.bsdf_eta3, bic),
         pm_sigs=jnp.where(p_in_med[..., None],
-                          scene.med_sigma_s[pmi], 0.0))
+                          take(scene.med_sigma_s, pmi), 0.0))
     derived1 = dict(
-        pm_btype=scene.bsdf_type[bic],
-        pm_alpha=scene.bsdf_alpha[bic],
-        pm_eta1=scene.bsdf_eta[bic],
-        pm_g=scene.med_g[pmi],
-        pm_ptype=scene.med_phase[pmi])
+        pm_btype=take(scene.bsdf_type, bic),
+        pm_alpha=take(scene.bsdf_alpha, bic),
+        pm_eta1=take(scene.bsdf_eta, bic),
+        pm_g=take(scene.med_g, pmi),
+        pm_ptype=take(scene.med_phase, pmi))
     cols = []
     for n in _SLOT3:
         a = derived3[n] if n in derived3 else pv[n]
@@ -283,7 +285,8 @@ def _compact_me(out, budget):
 
 def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                    border, max_per_cell=32, q_tile=128, stencil=8,
-                   use_manifold=False, me_budget=4096, pv_chain=None):
+                   use_manifold=False, me_budget=4096, pv_chain=None,
+                   budget=None, min_depth=0):
     """Surface photon gather with 4-direction shifts, dense planar path.
 
     packed: pack_photons table permuted into `grid` order
@@ -328,6 +331,12 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
         nwi = pl.neg3(wi_p)
         front = pl.dot3(pl.expand(ns), nwi) > 1e-4
         inside = ok & is_surf & (d2 < r * r) & front & gvalid
+        if min_depth > 0:
+            # per-pair total-depth gate: photon depth + camera scatter
+            # count at the GP (shift_volume_photon.cpp:672 semantics,
+            # not a photon-map prefilter)
+            inside = inside & (v.i1("depth") + base.depth[qi][:, None]
+                               >= min_depth)
         wi_l = pl.to_local_planar(ns, s_ax, t_ax, nwi)
         wo_lp = (wo_l[:, 0:1], wo_l[:, 1:2], wo_l[:, 2:3])
         fr, fg, fb, _ = pl.eval_bsdf_pdf_gather(scene, bi, wo_lp, wi_l)
@@ -379,7 +388,7 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
 
     out = hashgrid.gather_dense(grid, base.p, eval_fn,
                                 max_per_cell=max_per_cell, q_tile=q_tile,
-                                stencil=stencil)
+                                stencil=stencil, budget=budget)
     inv = 1.0 / n_emitted
     primal = base.thr * out["primal"] * inv
     S = jnp.moveaxis(out["S"], 1, 0)
@@ -446,7 +455,8 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
 def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                   r_vol, key, border_lane, n_samples=2, max_per_cell=32,
                   q_tile=128, stencil=8, use_manifold=False,
-                  me_budget=4096, pv_chain=None):
+                  me_budget=4096, pv_chain=None, budget=None,
+                  min_depth=0):
     """VPM/distance gather with 4-direction shifts, dense planar path.
 
     Matches gvpm.volume_gradient_gather semantics; packed/pv_chain as in
@@ -501,6 +511,12 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             d2 = pl.dot3(rel, rel)
             is_med = v.i1("vtype") == 2
             inside = ok & is_med & (d2 < r_vol * r_vol) & sokq
+            if min_depth > 0:
+                # medium vertex on this segment has camera depth
+                # cb["depth"]+1 (shift_volume_photon.cpp:672)
+                inside = inside & (
+                    v.i1("depth") + cb["depth"][qi][:, None] + 1
+                    >= min_depth)
             wi_p = v.f3("wi")
             cos_t = -pl.dot3(wi_p, pl.expand(dq))
             pf = pl.eval_phase_planar(scene, miq, cos_t)
@@ -542,7 +558,8 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
 
         out = hashgrid.gather_dense(grid, x, eval_fn,
                                     max_per_cell=max_per_cell,
-                                    q_tile=q_tile, stencil=stencil)
+                                    q_tile=q_tile, stencil=stencil,
+                                    budget=budget)
         primal = w_cam * out["primal"]
         S = jnp.moveaxis(out["S"], 1, 0)
         W = jnp.moveaxis(out["W"], 1, 0)
@@ -606,7 +623,7 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
 
 def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                r_vol, border_lane, max_steps=24, max_per_cell=16,
-               q_tile=128):
+               q_tile=128, budget=None, min_depth=0):
     """Gradient BRE with 4-direction shifts, dense planar path.
 
     Marches the camera segments in steps of 2*r_vol (grid cell = 2*r_vol,
@@ -655,6 +672,10 @@ def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             d2p = pl.dot3(perp, perp)
             is_med = v.i1("vtype") == 2
             inside = ok & is_med & in_step & (d2p < r_vol * r_vol) & liveq
+            if min_depth > 0:
+                inside = inside & (
+                    v.i1("depth") + cb["depth"][qi][:, None] + 1
+                    >= min_depth)
             wi_p = v.f3("wi")
             cos_t = -pl.dot3(wi_p, pl.expand(dq))
             pf = pl.eval_phase_planar(scene, miq, cos_t)
@@ -710,7 +731,8 @@ def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
 
         out = hashgrid.gather_dense(grid, x, eval_fn,
                                     max_per_cell=max_per_cell,
-                                    q_tile=q_tile, stencil=27)
+                                    q_tile=q_tile, stencil=27,
+                                    budget=budget, exact_cells=True)
         primal = primal0 + cb["thr"] * out["primal"]
         S = S0 + jnp.moveaxis(out["S"], 1, 0)
         W = W0 + jnp.moveaxis(out["W"], 1, 0) * cb["thr"][None]

@@ -341,15 +341,22 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     # ---- photon admissibility flags ----
     # cameraSphere: drop photons stored within a sensor-centred sphere
     # (gvpm_accel.h:221 isValidPhoton — kills the huge-kernel fireflies
-    # of photons landing next to the lens). minDepth: drop photons from
-    # paths shorter than minDepth (GPMConfig minDepth, gvpm_struct.h).
+    # of photons landing next to the lens) and beams whose SEGMENT
+    # crosses it (gvpm_beams.h:90 segment-sphere test). minDepth is NOT
+    # a photon prefilter: the reference gates each gather pair on total
+    # path depth (photon depth + camera depth,
+    # shift_volume_photon.cpp:672) — applied inside the gathers below.
     keep = jnp.ones(pp.shape[0], bool)
     if cfg.camera_sphere > 0.0:
         cam_o = scene.cam_to_world[:3, 3]
         d2cam = jnp.sum((pp - cam_o[None]) ** 2, axis=-1)
         keep = keep & (d2cam > cfg.camera_sphere ** 2)
-    if cfg.min_depth > 0:
-        keep = keep & (photons["depth"] >= cfg.min_depth)
+        t_cl = jnp.clip(jnp.sum((cam_o[None] - beams["o"]) * beams["d"],
+                                axis=-1), 0.0, beams["length"])
+        cl = beams["o"] + beams["d"] * t_cl[..., None]
+        d2seg = jnp.sum((cl - cam_o[None]) ** 2, axis=-1)
+        beams = dict(beams, valid=beams["valid"]
+                     & (d2seg > cfg.camera_sphere ** 2))
     # nullShift debug mode (GPMConfig nullShift): force every light
     # shift to the identity/unilateral branch by clearing the
     # reconnectable flags end to end
@@ -363,9 +370,16 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         cd = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), c)
         return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
-                    med=cd.med, thr=cd.thr, pdf_prod=cd.pdf_prod)
+                    med=cd.med, thr=cd.thr, pdf_prod=cd.pdf_prod,
+                    depth=cd.depth)
 
     # ---- surface (dense planar path, gradient_gather.py) ----
+    # pack ONCE over the slot array (one-hot table lookups keep it off
+    # the per-index gather path), then build_sorted permutes only the
+    # grid_*_rows-capped row range per grid (sorted_idx is sliced
+    # before the payload gather — the S*P slot array is ~80% RR-killed
+    # padding at paper scale)
+    gbudget = cfg.gather_budget or None
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
@@ -374,11 +388,12 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     packed = gradient_gather.pack_photons(scene, photons)
     grid_s, packed_s = hashgrid.build_sorted(
         pp, surf_valid, scene.world_lo, cell, packed,
-        hash_size=cfg.grid_hash_size)
+        hash_size=cfg.grid_hash_size, max_rows=cfg.grid_surface_rows)
     p_s, S_s, W_s, v_s, so_s = gradient_gather.surface_gather(
         scene, base_s, sgps, grid_s, packed_s, n_photons, border,
         max_per_cell=cfg.grid_max_photons_per_cell,
-        q_tile=cfg.gather_q_tile,
+        q_tile=cfg.gather_q_tile, budget=gbudget,
+        min_depth=cfg.min_depth,
         use_manifold=cfg.use_manifold, me_budget=cfg.me_pair_budget,
         pv_chain=photons)
     visits = jnp.sum(v_s)
@@ -390,7 +405,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         med_valid = (photons["vtype"] == ptracer.VERT_MEDIUM) & keep
         grid_v, packed_v = hashgrid.build_sorted(
             pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed,
-            hash_size=cfg.grid_hash_size)
+            hash_size=cfg.grid_hash_size, max_rows=cfg.grid_volume_rows)
 
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
@@ -413,7 +428,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 r_vol, k_gather, border_lane,
                 n_samples=cfg.volume_samples,
                 max_per_cell=cfg.grid_max_photons_per_cell,
-                q_tile=cfg.gather_q_tile,
+                q_tile=cfg.gather_q_tile, budget=gbudget,
+                min_depth=cfg.min_depth,
                 use_manifold=cfg.use_manifold,
                 me_budget=cfg.me_pair_budget,
                 pv_chain=photons)
@@ -422,7 +438,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 scene, cb, scb_list, grid_v, packed_v, n_photons,
                 r_vol, border_lane,
                 max_per_cell=cfg.grid_max_photons_per_cell,
-                q_tile=cfg.gather_q_tile)
+                q_tile=cfg.gather_q_tile, budget=gbudget,
+                min_depth=cfg.min_depth)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
         # splat per-segment results back to pixel lanes

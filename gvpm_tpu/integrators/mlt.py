@@ -144,7 +144,7 @@ def render(scene: Scene, cfg: VolPathConfig = VolPathConfig(), seed=0,
     n_steps = cfg.max_depth + cfg.null_bounces
     dim = 2 + n_steps * PSS_DIMS_PER_STEP
     k_boot, k_pick, k_run = jax.random.split(
-        jax.random.key(seed + 0x51ED270 % (1 << 30)), 3)
+        jax.random.key((seed + 0x51ED270) % (1 << 30)), 3)
 
     n_boot = bootstrap_factor * n_chains
     u_boot = jax.random.uniform(k_boot, (n_boot, dim))

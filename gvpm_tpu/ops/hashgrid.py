@@ -34,10 +34,21 @@ class HashGrid:
     cell_key: jnp.ndarray     # [P] bucket of each *sorted* photon
     cell_of: jnp.ndarray      # [P,3] int32 cell coords per photon (unsorted;
                               #       SORTED order when identity_order)
+    cell_pack: jnp.ndarray    # [P] int32 10-bit-packed cell coords in
+                              #     SORTED order (collision fingerprint)
     bucket_start: jnp.ndarray  # [H+1]
     hash_size: int = flax.struct.field(pytree_node=False, default=1 << 18)
     identity_order: bool = flax.struct.field(pytree_node=False,
                                              default=False)
+
+
+def _pack_cell(cell):
+    """Cell coords -> one i32 fingerprint (10 bits/axis). Two cells get
+    the same fingerprint only when >= 1024 cells apart per axis AND
+    hash-colliding — never within any stencil."""
+    return ((cell[..., 0] & 1023)
+            | ((cell[..., 1] & 1023) << 10)
+            | ((cell[..., 2] & 1023) << 20)).astype(jnp.int32)
 
 
 def _cell_coords(origin, cell_size, p):
@@ -61,8 +72,8 @@ def build(positions, valid, origin, cell_size, hash_size=1 << 18):
     ).astype(jnp.int32)
     return HashGrid(origin=origin, cell_size=jnp.asarray(cell_size),
                     sorted_idx=order.astype(jnp.int32), cell_key=b_sorted,
-                    cell_of=cell, bucket_start=bucket_start,
-                    hash_size=hash_size)
+                    cell_of=cell, cell_pack=_pack_cell(cell[order]),
+                    bucket_start=bucket_start, hash_size=hash_size)
 
 
 def build_sorted(positions, valid, origin, cell_size, payload,
@@ -87,19 +98,20 @@ def build_sorted(positions, valid, origin, cell_size, payload,
     arrays; query results index into the SORTED order.
     """
     g = build(positions, valid, origin, cell_size, hash_size)
-    payload_sorted = jax.tree_util.tree_map(lambda a: a[g.sorted_idx],
-                                            payload)
-    cell_sorted = g.cell_of[g.sorted_idx]
+    cell_pack = g.cell_pack
     sorted_idx = g.sorted_idx
     bucket_start = g.bucket_start
     if max_rows and max_rows < positions.shape[0]:
-        payload_sorted = jax.tree_util.tree_map(
-            lambda a: a[:max_rows], payload_sorted)
-        cell_sorted = cell_sorted[:max_rows]
+        # slice the permutation FIRST: the payload gather then touches
+        # only max_rows rows (gathers pay per index)
+        cell_pack = cell_pack[:max_rows]
         sorted_idx = sorted_idx[:max_rows]
         bucket_start = jnp.minimum(bucket_start, max_rows)
-    return g.replace(cell_of=cell_sorted, sorted_idx=sorted_idx,
-                     bucket_start=bucket_start,
+    payload_sorted = jax.tree_util.tree_map(lambda a: a[sorted_idx],
+                                            payload)
+    cell_sorted = g.cell_of[sorted_idx]
+    return g.replace(cell_of=cell_sorted, cell_pack=cell_pack,
+                     sorted_idx=sorted_idx, bucket_start=bucket_start,
                      identity_order=True), payload_sorted
 
 
@@ -154,75 +166,131 @@ OFFSETS8 = [(ox, oy, oz) for ox in (0, 1) for oy in (0, 1)
             for oz in (0, 1)]
 
 
+def stencil_ranges(grid: HashGrid, xq, stencil, dedup_buckets=False):
+    """Per-query (start, count) row ranges of the stencil cells.
+
+    Returns (start [Qt,S], count [Qt,S], pack [Qt,S]) into the grid's
+    SORTED row order; pack is the _pack_cell fingerprint each slot
+    expects. Hash collisions (two cells sharing a bucket) are resolved
+    one of two ways:
+
+    - dedup_buckets=True ("ball" mode): a bucket shared by several
+      stencil cells keeps only its first slot, so every bucket — and
+      thus every photon — is enumerated at most once. Far-cell
+      collision photons still appear as candidates; callers whose
+      membership test is a ball around `xq` reject them for free
+      (every true neighbor lies in a stencil cell, every collision
+      photon is >= one cell away). No per-row fingerprint gather.
+
+    - dedup_buckets=False ("exact" mode): all slots enumerate their
+      full buckets; the caller must compare `pack` against each
+      candidate row's cell_pack (one extra 4-byte gather per lane).
+      Required when the membership test is NOT a ball around xq (the
+      BRE cylinder-step test), where a collision photon could pass.
+    """
+    S = stencil
+    if S == 8:
+        g = (xq - grid.origin) / grid.cell_size
+        qcell = jnp.floor(g - 0.5).astype(jnp.int32)
+    else:
+        qcell = _cell_coords(grid.origin, grid.cell_size, xq)
+    offs = jnp.asarray(
+        NEIGHBOR_OFFSETS if S == 27 else OFFSETS8, jnp.int32)
+    ncell = qcell[:, None, :] + offs[None, :, :]               # [Qt,S,3]
+    nb = _bucket(ncell, grid.hash_size)                        # [Qt,S]
+    start = grid.bucket_start[nb]
+    count = grid.bucket_start[nb + 1] - start
+    if dedup_buckets:
+        dup = jnp.zeros(nb.shape, bool)
+        for s in range(1, S):
+            dup = dup.at[:, s].set(jnp.any(nb[:, :s] == nb[:, s:s + 1],
+                                           axis=1))
+        count = jnp.where(dup, 0, count)
+    return start, count, _pack_cell(ncell)
+
+
 def gather_dense(grid: HashGrid, x, eval_fn, max_per_cell=32,
-                 q_tile=256, compensate_overflow=True, stencil=27):
-    """Vectorized range-query: materialize all S*K candidates per query
-    and evaluate them in one shot (S = stencil size).
+                 q_tile=256, compensate_overflow=True, stencil=27,
+                 budget=None, exact_cells=False):
+    """Vectorized range-query with PREFIX-COMPACTED candidates.
 
-    The fold-based `gather` issues 27*K small dependent gathers — fine on
-    CPU, serial death on TPU. This variant builds the candidate index
-    tensor [Qt, S*K] with ONE gather, so downstream per-field gathers
-    are large and parallel; queries are processed in chunks of `q_tile`
-    via lax.map to bound memory.
+    The round-2 version materialized all S*K candidate SLOTS per query
+    ([Qt, stencil*max_per_cell] planes); with mean cell occupancy ~5-8
+    photons that left ~85-95% of slots empty, and every slot still paid
+    a full per-field row gather downstream — measured 0.6% candidate
+    occupancy and 10s+ of the 14s bench pass. This version enumerates
+    only REAL stored rows: the stencil cells' (start,count) ranges are
+    prefix-summed per query and lane k in [0,B) maps through a rank ->
+    (cell, offset) decode, so every candidate lane is a photon that
+    exists in a stencil cell. B = `budget` (default 2*max_per_cell).
 
-    stencil=27: cell_size >= r, visit the 27-neighborhood.
-    stencil=8:  cell_size >= 2r, visit the 2x2x2 block anchored at
-                floor(g - 0.5) — covers every point within r of x with
-                3.4x fewer candidates (the preferred TPU configuration).
+    When a query's stencil holds more than B rows, a strided subsample
+    rank = floor(k*T/B) is visited with compensation scale T/B —
+    photon order within a bucket is emission order (independent of
+    position), so the estimate stays unbiased in expectation, matching
+    the per-cell overflow compensation of `gather`.
 
-    eval_fn(q_idx [Qt], idx [Qt,M], ok [Qt,M], scale [Qt,M]) -> pytree of
-    arrays with leading dim Qt, already reduced over M. q_idx are indices
-    into the original query array (use them to slice captured per-query
-    data). Returns the pytree with leading dim Q.
+    stencil=27: cell_size >= r; stencil=8: cell_size >= 2r, 2x2x2 block
+    anchored at floor(g - 0.5) (the preferred TPU configuration).
+
+    eval_fn(q_idx [Qt], idx [Qt,B], ok [Qt,B], scale [Qt,B]) -> pytree
+    of arrays with leading dim Qt, already reduced over B. q_idx are
+    indices into the original query array. Returns the pytree with
+    leading dim Q. Candidates are rows in the grid's SORTED order when
+    identity_order (build_sorted), else original photon indices.
+
+    exact_cells=False assumes the caller's membership test is a BALL of
+    radius <= cell coverage around x (collision photons auto-reject,
+    stencil_ranges dedup_buckets mode — saves one gather per lane);
+    exact_cells=True additionally fingerprint-checks every candidate's
+    cell (required for non-ball tests, e.g. BRE's cylinder step).
     """
     Q = x.shape[0]
-    K = max_per_cell
     S = stencil
-    M = S * K
+    B = budget if budget is not None else 2 * max_per_cell
     n_chunks = -(-Q // q_tile)
     pad = n_chunks * q_tile - Q
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     q_ids = jnp.arange(n_chunks * q_tile) % Q  # padded lanes wrap (masked)
     valid_q = jnp.arange(n_chunks * q_tile) < Q
-
-    offs = jnp.asarray(
-        NEIGHBOR_OFFSETS if S == 27 else OFFSETS8, jnp.int32)
     P = grid.sorted_idx.shape[0]
 
     def chunk(args):
         xq, qi, vq = args
-        if S == 8:
-            g = (xq - grid.origin) / grid.cell_size
-            qcell = jnp.floor(g - 0.5).astype(jnp.int32)
-        else:
-            qcell = _cell_coords(grid.origin, grid.cell_size, xq)
-        ncell = qcell[:, None, :] + offs[None, :, :]           # [Qt,S,3]
-        nb = _bucket(ncell, grid.hash_size)                    # [Qt,27]
-        start = grid.bucket_start[nb]
-        end = grid.bucket_start[nb + 1]
-        full = end - start
-        count = jnp.minimum(full, K)
+        start, count, pack = stencil_ranges(
+            grid, xq, S, dedup_buckets=not exact_cells)        # [Qt,S]
+        off = jnp.cumsum(count, axis=1)                        # inclusive
+        T = off[:, -1]                                         # [Qt]
+        ks = jnp.arange(B, dtype=jnp.int32)[None, :]           # [1,B]
+        over = (T > B)[:, None]
         if compensate_overflow:
-            scale27 = jnp.where(
-                full > K,
-                full.astype(jnp.float32)
-                / jnp.maximum(count, 1).astype(jnp.float32), 1.0)
+            rank = jnp.where(over, (ks * T[:, None]) // B, ks)
+            scale = jnp.broadcast_to(
+                jnp.where(over, T[:, None].astype(jnp.float32) / B, 1.0),
+                (xq.shape[0], B))
+            ok = (ks < jnp.minimum(T, B)[:, None]) & vq[:, None]
         else:
-            scale27 = jnp.ones_like(full, jnp.float32)
-        ks = jnp.arange(K, dtype=jnp.int32)
-        slots = start[:, :, None] + ks[None, None, :]          # [Qt,27,K]
-        ok = ks[None, None, :] < count[:, :, None]
-        slots = jnp.clip(slots, 0, P - 1)
+            rank = ks
+            scale = jnp.ones((xq.shape[0], B), jnp.float32)
+            ok = (ks < T[:, None]) & vq[:, None]
+        # rank -> (cell j, offset): j = #cells whose inclusive cumsum
+        # <= rank; row = start[j] + rank - exclusive_cumsum[j]
+        j = jnp.zeros(rank.shape, jnp.int32)
+        for s in range(S - 1):
+            j = j + (rank >= off[:, s][:, None])
+        row = (jnp.take_along_axis(start, j, axis=1) + rank
+               - jnp.take_along_axis(off - count, j, axis=1))
+        row = jnp.clip(row, 0, P - 1)
+        if exact_cells:
+            # far-cell hash collisions: candidate must really live in
+            # the stencil cell its slot expects (one 4B gather/lane)
+            ok = ok & (grid.cell_pack[row]
+                       == jnp.take_along_axis(pack, j, axis=1))
         if grid.identity_order:
-            idx = slots        # payload pre-permuted into grid order
+            idx = row          # payload pre-permuted into grid order
         else:
-            idx = grid.sorted_idx[slots]
-        ok = ok & jnp.all(grid.cell_of[idx] == ncell[:, :, None, :],
-                          axis=-1)
-        ok = ok & vq[:, None, None]
-        scale = jnp.broadcast_to(scale27[:, :, None], ok.shape)
-        return eval_fn(qi, idx.reshape(-1, M), ok.reshape(-1, M),
-                       scale.reshape(-1, M))
+            idx = grid.sorted_idx[row]
+        return eval_fn(qi, idx, ok, scale)
 
     out = jax.lax.map(chunk, (xp.reshape(n_chunks, q_tile, 3),
                               q_ids.reshape(n_chunks, q_tile),

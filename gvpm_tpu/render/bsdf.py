@@ -30,6 +30,7 @@ import flax.struct
 from ..core import warp
 from ..core.math import (fresnel_conductor, fresnel_dielectric, reflect_local,
                          safe_sqrt)
+from ..core.tables import take
 from ..scene.types import (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE,
                            BSDF_NULL, BSDF_PHONG, BSDF_PLASTIC,
                            BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC, Scene)
@@ -181,15 +182,15 @@ def eval_bsdf(scene: Scene, bi, wi, wo, transport="radiance"):
 
     Returns (f [N,3], pdf [N]): pdf of sampling wo given wi under sample().
     """
-    btype = scene.bsdf_type[bi]
+    btype = take(scene.bsdf_type, bi)
     flip = _twosided_flip(btype, wi)
     wi = _flip_z(wi, flip)
     wo = _flip_z(wo, flip)
-    albedo = scene.bsdf_albedo[bi]
-    alpha = scene.bsdf_alpha[bi]
-    eta3 = scene.bsdf_eta3[bi]
-    k3 = scene.bsdf_k[bi]
-    spec = scene.bsdf_k[bi]  # phong: specular reflectance stored in k
+    albedo = take(scene.bsdf_albedo, bi)
+    alpha = take(scene.bsdf_alpha, bi)
+    eta3 = take(scene.bsdf_eta3, bi)
+    k3 = take(scene.bsdf_k, bi)
+    spec = take(scene.bsdf_k, bi)  # phong: specular reflectance stored in k
     ci, co = _cos(wi), _cos(wo)
     same_side = (ci * co) > 0.0
     upper = (ci > 0.0) & (co > 0.0)
@@ -227,7 +228,7 @@ def eval_bsdf(scene: Scene, bi, wi, wo, transport="radiance"):
               * jnp.power(cos_r, n_exp))
 
     # plastic: Fresnel-weighted diffuse (specular lobe is delta -> 0 here)
-    eta = scene.bsdf_eta[bi]
+    eta = take(scene.bsdf_eta, bi)
     Fi, _ = fresnel_dielectric(jnp.abs(ci), eta)
     Fo, _ = fresnel_dielectric(jnp.abs(co), eta)
     f_pl = albedo * ((1.0 - Fi) * (1.0 - Fo))[..., None] * INV_PI
@@ -285,13 +286,13 @@ def _flip_z(v, flip):
 
 def sample_bsdf(scene: Scene, bi, wi, u3, transport="radiance") -> BSDFSample:
     """Sample wo given wi. u3: [N,3] uniforms (lobe select + 2D)."""
-    btype = scene.bsdf_type[bi]
-    albedo = scene.bsdf_albedo[bi]
-    alpha = scene.bsdf_alpha[bi]
-    eta = scene.bsdf_eta[bi]
-    eta3 = scene.bsdf_eta3[bi]
-    k3 = scene.bsdf_k[bi]
-    spec = scene.bsdf_k[bi]
+    btype = take(scene.bsdf_type, bi)
+    albedo = take(scene.bsdf_albedo, bi)
+    alpha = take(scene.bsdf_alpha, bi)
+    eta = take(scene.bsdf_eta, bi)
+    eta3 = take(scene.bsdf_eta3, bi)
+    k3 = take(scene.bsdf_k, bi)
+    spec = take(scene.bsdf_k, bi)
     flip = _twosided_flip(btype, wi)
     wi = _flip_z(wi, flip)
     ci = _cos(wi)
@@ -437,8 +438,8 @@ def _phong_eval_pdf(albedo, spec, n_exp, w_spec, wi, wo):
 
 def effective_roughness(scene: Scene, bi):
     """Scalar roughness proxy for VertexClassifier (gvpm_struct.h:46-104)."""
-    btype = scene.bsdf_type[bi]
-    alpha = scene.bsdf_alpha[bi]
+    btype = take(scene.bsdf_type, bi)
+    alpha = take(scene.bsdf_alpha, bi)
     r = jnp.full_like(alpha, jnp.inf)                 # diffuse = inf
     r = jnp.where((btype == BSDF_CONDUCTOR) | (btype == BSDF_DIELECTRIC)
                   | (btype == BSDF_NULL), 0.0, r)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..core import warp
 from ..core.math import coordinate_system, cross, dot, normalize, to_world
 from ..scene.types import DE_DIRECTIONAL, DE_POINT, DE_SPOT, Scene
+from ..core.tables import take
 
 
 @flax.struct.dataclass
@@ -65,7 +66,7 @@ def sample_position(scene: Scene, u3) -> EmitterSample:
     pmf = scene.em_cdf[k] - jnp.where(k > 0, scene.em_cdf[k - 1], 0.0)
     p, n = _prim_geom(scene, prim, u3[..., 1:3])
     em = scene.prim_emitter(prim)
-    rad = scene.em_radiance[jnp.clip(em, 0, scene.em_radiance.shape[0] - 1)]
+    rad = take(scene.em_radiance, jnp.clip(em, 0, scene.em_radiance.shape[0] - 1))
     pdf_area = pmf / jnp.maximum(scene.em_prim_area[k], 1e-20)
     return EmitterSample(p=p, n=n, radiance=rad, pdf_area=pdf_area,
                          prim=prim, emitter=em, valid=valid & (pmf > 0))
@@ -83,7 +84,7 @@ def eval_radiance(scene: Scene, prim, n, wo):
     """Radiance leaving prim toward wo (front side only); [N,3]."""
     em = scene.prim_emitter(prim)
     is_em = em >= 0
-    rad = scene.em_radiance[jnp.clip(em, 0, scene.em_radiance.shape[0] - 1)]
+    rad = take(scene.em_radiance, jnp.clip(em, 0, scene.em_radiance.shape[0] - 1))
     front = dot(n, wo) > 0.0
     return jnp.where((is_em & front)[..., None], rad, 0.0)
 

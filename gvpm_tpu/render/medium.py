@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..scene.types import NO_MEDIUM, Scene
+from ..core.tables import take
 
 EPSILON = 1e-4  # matches the reference's Epsilon for single precision
 
@@ -56,8 +57,8 @@ def _tables(scene: Scene, mi):
     """Per-lane medium coefficients; vacuum (mi<0) becomes all-zero."""
     idx = jnp.clip(mi, 0, scene.med_sigma_a.shape[0] - 1)
     in_med = (mi != NO_MEDIUM)[..., None]
-    sa = jnp.where(in_med, scene.med_sigma_a[idx], 0.0)
-    ss = jnp.where(in_med, scene.med_sigma_s[idx], 0.0)
+    sa = jnp.where(in_med, take(scene.med_sigma_a, idx), 0.0)
+    ss = jnp.where(in_med, take(scene.med_sigma_s, idx), 0.0)
     return sa, ss, sa + ss
 
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..core import warp
 from ..core.math import coordinate_system, dot, safe_sqrt, to_world
 from ..scene.types import PHASE_HG, PHASE_RAYLEIGH, Scene
+from ..core.tables import take
 
 
 def rayleigh_pdf(cos_theta):
@@ -32,8 +33,8 @@ def _rayleigh_sample_cos(u):
 def eval_phase(scene: Scene, mi, wi, wo):
     """p(wi -> wo); returns [N]. mi: medium index per lane (>= 0)."""
     idx = jnp.clip(mi, 0, scene.med_g.shape[0] - 1)
-    g = scene.med_g[idx]
-    ptype = scene.med_phase[idx]
+    g = take(scene.med_g, idx)
+    ptype = take(scene.med_phase, idx)
     cos_theta = dot(-wi, wo)
     hg = warp.hg_pdf(cos_theta, g)
     iso = jnp.full_like(hg, warp.INV_FOURPI)
@@ -49,8 +50,8 @@ def pdf_phase(scene: Scene, mi, wi, wo):
 def sample_phase(scene: Scene, mi, wi, u2):
     """Sample wo; returns (wo [N,3], pdf [N]). Weight is always 1."""
     idx = jnp.clip(mi, 0, scene.med_g.shape[0] - 1)
-    g = scene.med_g[idx]
-    ptype = scene.med_phase[idx]
+    g = take(scene.med_g, idx)
+    ptype = take(scene.med_phase, idx)
     fwd = -wi
     d_local, pdf_hg = warp.square_to_hg(u2, g)
     s, t = coordinate_system(fwd)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.math import EPS, cross, dot, normalize, safe_rcp
+from ..core.tables import take
 from .types import Scene
 
 TILE = 256  # triangle tile per scan step; keeps temps ~ N*TILE floats
@@ -139,13 +140,13 @@ def intersect(scene: Scene, o, d, t_max=None) -> Hit:
 
     # normals
     ti = jnp.clip(prim, 0, scene.n_tris - 1)
-    ng_tri = normalize(cross(scene.tri_e1[ti], scene.tri_e2[ti]))
-    vn = scene.tri_vn[ti]                                    # [N,3,3]
+    ng_tri = normalize(cross(take(scene.tri_e1, ti), take(scene.tri_e2, ti)))
+    vn = take(scene.tri_vn, ti)                              # [N,3,3]
     w = jnp.stack([1.0 - u - v, u, v], axis=-1)              # [N,3]
     ns_tri = normalize(jnp.sum(vn * w[..., None], axis=-2))
     if scene.n_spheres > 0:
         si = jnp.clip(prim - scene.n_tris, 0, scene.n_spheres - 1)
-        ng_sph = normalize(p - scene.sph_center[si])
+        ng_sph = normalize(p - take(scene.sph_center, si))
         is_tri = prim < scene.n_tris
         ng = jnp.where(is_tri[:, None], ng_tri, ng_sph)
         ns = jnp.where(is_tri[:, None], ns_tri, ng_sph)

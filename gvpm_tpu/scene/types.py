@@ -159,9 +159,11 @@ class Scene:
         is_tri = prim < self.n_tris
         ti = jnp.clip(prim, 0, self.n_tris - 1)
         si = jnp.clip(prim - self.n_tris, 0, max(self.n_spheres - 1, 0))
+        from ..core.tables import take
         if self.n_spheres == 0:
-            return tri_tab[ti]
-        return jnp.where(_bshape(is_tri, tri_tab[ti]), tri_tab[ti], sph_tab[si])
+            return take(tri_tab, ti)
+        tv = take(tri_tab, ti)
+        return jnp.where(_bshape(is_tri, tv), tv, take(sph_tab, si))
 
     def prim_bsdf(self, prim):
         return self.prim_attr(self.tri_bsdf, self.sph_bsdf, prim)

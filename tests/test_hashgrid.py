@@ -61,6 +61,9 @@ def test_no_double_count_on_hash_collisions():
 
 
 def test_dense_matches_fold():
+    """With a budget that never binds, the prefix-compacted dense path
+    must visit exactly the same photon set as the fold gather (and the
+    brute force)."""
     key = jax.random.key(7)
     P, Q = 2048, 300
     r = 0.09
@@ -74,7 +77,7 @@ def test_dense_matches_fold():
         inside = ok & (d2 < r * r)
         return carry + jnp.where(inside, scale * (1.0 + d2), 0.0)
 
-    ref = hashgrid.gather(grid, q, fold, jnp.zeros(Q), max_per_cell=8)
+    ref = hashgrid.gather(grid, q, fold, jnp.zeros(Q), max_per_cell=P)
 
     def eval_fn(qi, idx, ok, scale):
         d2 = jnp.sum((pts[idx] - q[qi][:, None, :]) ** 2, axis=-1)
@@ -82,7 +85,37 @@ def test_dense_matches_fold():
         return jnp.sum(jnp.where(inside, scale * (1.0 + d2), 0.0),
                        axis=1)
 
-    dense = hashgrid.gather_dense(grid, q, eval_fn, max_per_cell=8,
-                                  q_tile=128)
+    dense = hashgrid.gather_dense(grid, q, eval_fn, q_tile=128,
+                                  budget=512)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(ref),
                                rtol=1e-5)
+
+
+def test_dense_overflow_compensation_unbiased():
+    """When the candidate budget binds, the strided subsample with
+    scale T/B must stay unbiased: the mean over many query jitters of
+    the capped estimate matches the uncapped sum within a few percent.
+    """
+    key = jax.random.key(11)
+    P = 4096
+    r = 0.12
+    pts = jax.random.uniform(key, (P, 3))
+    grid = hashgrid.build(pts, jnp.ones(P, bool), jnp.zeros(3),
+                          2.0 * r, hash_size=1 << 10)
+    Q = 512
+    q = jax.random.uniform(jax.random.key(12), (Q, 3)) * 0.6 + 0.2
+
+    def eval_fn(qi, idx, ok, scale):
+        d2 = jnp.sum((pts[idx] - q[qi][:, None, :]) ** 2, axis=-1)
+        inside = ok & (d2 < r * r)
+        return jnp.sum(jnp.where(inside, scale * (1.0 + d2), 0.0),
+                       axis=1)
+
+    full = hashgrid.gather_dense(grid, q, eval_fn, q_tile=128,
+                                 budget=1024, stencil=8)
+    capped = hashgrid.gather_dense(grid, q, eval_fn, q_tile=128,
+                                   budget=16, stencil=8)
+    # every query overflows (E[neighbors in stencil] ~ 110 >> 16)
+    tf, tc = float(jnp.sum(full)), float(jnp.sum(capped))
+    assert tf > 0
+    assert abs(tc - tf) / tf < 0.05, (tc, tf)
