@@ -1,23 +1,31 @@
-"""Benchmark: the G-VPM gradient pass (the product's hot loop) at paper
-scale, reporting REAL photon visits per second.
+"""Benchmark: G-VPM gradient passes at paper scale, reporting REAL
+photon visits per second, per technique, with a per-phase breakdown.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}.
+"vs_baseline": N, "phases": {...}, "configs": {...}}.
 
-Workload (BASELINE.md / generatorGVPM.py paper config shape): 512x512
-film, 1M light paths per pass, maxDepth 12, VPM distance estimator, full
-gradient pass (base + 4 shifted camera paths, surface + volume gathers
-with diffuse-reconnection shifts and pairwise MIS, gradient assembly).
+Headline workload (BASELINE.md / generatorGVPM.py paper config shape):
+512x512 film, 256k light paths/pass (~1M+ stored photons), maxDepth 12,
+VPM distance estimator, full gradient pass (base + 4 shifted camera
+paths, surface + volume gathers with diffuse-reconnection shifts and
+pairwise MIS, gradient assembly), windowed cell-major gather driver
+(ops/cellgrid.py). Secondary configs cover the paper's technique matrix
+(generatorGVPM.py:74-84): distance+ME (manifold shift on), beam 3D
+(BASELINE's north-star estimator) and plane 0D.
 
-The metric counts photons that actually pass the kernel test inside the
-gathers (gvpm.render_pass returns the counter) — NOT candidate slots;
-round-1's candidate-slot metric overcounted by the masked fraction.
-vs_baseline: BASELINE.md target is >= 10x one 64-core CPU node running
-the reference (~20M real gathers/s measured class for Mitsuba-era SPPM
-on such a node), i.e. 2e8 visits/s == 1.0.
+The metric counts photons/beams that actually pass the kernel test
+inside the gathers (render_pass returns the counter) — NOT candidate
+slots. vs_baseline: BASELINE.md target is >= 10x one 64-core CPU node
+running the reference (~20M real gathers/s measured class for
+Mitsuba-era SPPM on such a node), i.e. 2e8 visits/s == 1.0.
 
-On a CPU host (no TPU) a tiny config is used — that mode exists only so
-the bench stays runnable in CI; the recorded numbers come from the chip.
+Timing uses a host fetch of each pass's stats as the barrier — on the
+axon remote-TPU backend block_until_ready returns before execution
+finishes, so device_get is the only reliable fence (measured: matmul
+"19,490 TFLOP/s" under block_until_ready).
+
+On a CPU host (no TPU) a tiny config keeps the bench runnable in CI;
+recorded numbers come from the chip.
 """
 
 import json
@@ -25,11 +33,9 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 if os.environ.get("GVPM_BENCH_CPU"):
-    # the container's sitecustomize pins the axon/TPU backend at
-    # interpreter start; force-reset onto the virtual CPU mesh the same
-    # way tests/conftest.py does
     import jax._src.xla_bridge as _xb
     if _xb.backends_are_initialized():
         _xb._clear_backends()
@@ -43,65 +49,158 @@ REFERENCE_NODE_GATHERS_PER_S = 20e6   # one 64-core CPU node, reference class
 TARGET = 10.0 * REFERENCE_NODE_GATHERS_PER_S
 
 
+def fence(x):
+    """Host-fetch barrier (see module docstring)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(x)
+              if hasattr(l, "dtype")]
+    return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:8]))
+
+
+def run_config(scene, cfg, volume, n_photons, r_vol, passes):
+    args = (scene, cfg, volume, n_photons, 0, 0, 1.0, 1.0, r_vol)
+    out = gvpm.render_pass(*args)   # compile
+    fence(out)
+    t0 = time.perf_counter()
+    visits = shok = dropped = 0
+    for it in range(1, passes + 1):
+        p, gx, gy, st = gvpm.render_pass(scene, cfg, volume, n_photons,
+                                         0, it, 1.0, 1.0, r_vol)
+        visits += int(st["visits"])          # host fetch == barrier
+        shok += int(st["shift_ok"])
+        dropped += int(st.get("win_dropped", 0))
+    dt = (time.perf_counter() - t0) / passes
+    v = visits // passes
+    return dict(visits_per_s=round(v / dt, 1),
+                visits_per_pass=v,
+                pass_seconds=round(dt, 4),
+                shift_success_per_pass=shok // passes,
+                window_dropped_rows=dropped // passes)
+
+
+def phase_breakdown(scene, cfg, n_photons, r_vol):
+    """Separately-jitted phases of the distance pass (the roofline
+    evidence VERDICT r2 demanded). Phases overlap inside the fused
+    render_pass, so these add up to >= the fused time."""
+    from gvpm_tpu.core import rng
+    from gvpm_tpu.integrators import gatherpoint, gradient_gather, ptracer
+    from gvpm_tpu.ops import cellgrid
+
+    res = {}
+    k_cam = rng.pass_key(0, 1, rng.STREAM_CAMERA)
+    k_light = rng.pass_key(0, 1, rng.STREAM_LIGHT)
+    H, W = scene.height, scene.width
+    py, px = jnp.mgrid[0:H, 0:W]
+    px = px.reshape(-1).astype(jnp.float32)
+    py = py.reshape(-1).astype(jnp.float32)
+
+    def timed(label, fn, *a, reps=2):
+        out = fn(*a)
+        fence(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fence(fn(*a))
+        res[label] = round((time.perf_counter() - t0) / reps, 3)
+        return out
+
+    shoot = jax.jit(lambda k: sppm.shoot_photons(scene, cfg, n_photons, k))
+    photons, beams = timed("photon_shoot", shoot, k_light)
+
+    trace = jax.jit(lambda k, x, y: gatherpoint.trace(scene, cfg, k, x, y))
+    base, _cb = timed("camera_trace_1of5", trace, k_cam, px, py)
+
+    def build(photons, cell):
+        packed = gradient_gather.pack_photons(scene, photons)
+        gs, ps = cellgrid.build_cells(
+            photons["p"], photons["vtype"] == ptracer.VERT_SURFACE,
+            scene.world_lo, scene.world_hi, cell, cfg.grid_dims, packed,
+            max_rows=cfg.grid_surface_rows)
+        gv, pv = cellgrid.build_cells(
+            photons["p"], photons["vtype"] == ptracer.VERT_MEDIUM,
+            scene.medium_lo, scene.medium_hi, 2.0 * r_vol, cfg.grid_dims,
+            packed, max_rows=cfg.grid_volume_rows)
+        return gs, ps, gv, pv
+
+    cell = 2.0 * jnp.maximum(
+        jnp.max(jnp.where(base.valid, base.radius, 0.0)), 1e-5)
+    timed("pack_and_grid_build", jax.jit(build), photons, cell)
+    return res
+
+
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
         # 256k light PATHS x maxDepth 12 stores ~1M+ photons per map —
-        # the paper's 1M-photons-per-pass scale (the reference counts
-        # STORED photons, generatorGVPM.py:45-48, not emitted paths)
+        # the paper's 1M-photons-per-pass scale (generatorGVPM.py:45-48
+        # counts STORED photons). initial_scale_volume puts the 3D
+        # kernel in the classic-PM gather regime (O(10) photons per
+        # query ball — the reference's early-pass regime where density
+        # estimation, not tracing, dominates).
         side, n_photons, passes = 512, 1 << 18, 3
-        cfg = GradientConfig(
+        base_kw = dict(
             max_depth=12, null_bounces=6, max_cam_depth=6,
-            surface_photons=n_photons, volume_photons=n_photons,
+            surface_photons=1 << 18, volume_photons=1 << 18,
             grid_hash_size=1 << 20, volume_samples=2,
-            # gather-dominated regime: ~20 medium photons per 3D kernel
-            # (classic PM occupancy; the paper's late-pass radii are
-            # smaller, where rendering is trace-bound, not gather-bound)
-            initial_scale_volume=0.4,
+            initial_scale_volume=0.8,
             grid_max_photons_per_cell=32, gather_q_tile=2048,
-            vol_segments_per_pixel=2, use_manifold=False)
+            vol_segments_per_pixel=2,
+            grid_dims=(64, 64, 64), gather_window=768,
+            window_q_tile=256,
+            grid_surface_rows=1 << 20, grid_volume_rows=1 << 20)
+        beams = 1 << 14
     else:
         side, n_photons, passes = 64, 1 << 14, 2
-        cfg = GradientConfig(
+        base_kw = dict(
             max_depth=6, null_bounces=3, max_cam_depth=4,
-            surface_photons=n_photons, volume_photons=n_photons,
+            surface_photons=1 << 14, volume_photons=1 << 14,
             grid_hash_size=1 << 15, volume_samples=2,
-            grid_max_photons_per_cell=16, use_manifold=False)
+            grid_max_photons_per_cell=16,
+            grid_dims=(32, 32, 32), gather_window=512,
+            window_q_tile=64)
+        beams = 1 << 10
 
     scene = box_medium(width=side, height=side)
+
+    configs = {}
+    # --- headline: VPM distance, windowed driver, no ME ---
+    cfg = GradientConfig(use_manifold=False, **base_kw)
     r_vol = sppm.base_volume_radius(scene, cfg)
+    configs["distance"] = run_config(scene, cfg, "distance", n_photons,
+                                     r_vol, passes)
 
-    args = (scene, cfg, "distance", n_photons, 0, 0, 1.0, 1.0, r_vol)
-    out = gvpm.render_pass(*args)  # compile
-    jax.block_until_ready(out)
+    phases = phase_breakdown(scene, cfg, n_photons, r_vol)
 
-    t0 = time.perf_counter()
-    visits = 0
-    for it in range(1, passes + 1):
-        p, gx, gy, st = gvpm.render_pass(scene, cfg, "distance",
-                                         n_photons, 0, it, 1.0, 1.0,
-                                         r_vol)
-        visits += int(st["visits"])
-    jax.block_until_ready(p)
-    dt = (time.perf_counter() - t0) / passes
-    rate = (visits / passes) / dt
+    # --- technique matrix (generatorGVPM.py:74-84) ---
+    cfg_me = GradientConfig(use_manifold=True, **base_kw)
+    configs["distance_me"] = run_config(scene, cfg_me, "distance",
+                                        n_photons, r_vol, max(1, passes - 1))
+    kw_b = dict(base_kw, beams=beams)
+    cfg_b = GradientConfig(use_manifold=False, **kw_b)
+    r_b = sppm.base_volume_radius(scene, cfg_b)
+    configs["beam3d"] = run_config(scene, cfg_b, "beam3d", n_photons,
+                                   r_b, max(1, passes - 1))
+    configs["plane0d"] = run_config(scene, cfg_b, "plane0d", n_photons,
+                                    r_b, max(1, passes - 1))
 
-    # wavefront rays actually traced per pass: 5 camera wavefronts
-    # (base + 4 offsets) x steps + photon walk steps
+    head = configs["distance"]
     n_pix = side * side
-    rays = 5 * n_pix * cfg.max_cam_depth \
-        + n_photons * (cfg.max_depth + cfg.null_bounces)
+    cfgd = GradientConfig(use_manifold=False, **base_kw)
+    rays = 5 * n_pix * cfgd.max_cam_depth \
+        + n_photons * (cfgd.max_depth + cfgd.null_bounces)
 
     print(json.dumps({
         "metric": "gradient_photon_visits_per_s_per_chip",
-        "value": round(rate, 1),
+        "value": head["visits_per_s"],
         "unit": "photon-visits/s",
-        "vs_baseline": round(rate / TARGET, 4),
-        "visits_per_pass": visits // passes,
-        "pass_seconds": round(dt, 4),
-        "wavefront_mrays_per_s": round(rays / dt / 1e6, 2),
+        "vs_baseline": round(head["visits_per_s"] / TARGET, 4),
+        "visits_per_pass": head["visits_per_pass"],
+        "pass_seconds": head["pass_seconds"],
+        "wavefront_mrays_per_s": round(rays / head["pass_seconds"] / 1e6,
+                                       2),
+        "phases": phases,
+        "configs": configs,
         "config": {"film": side, "photons": n_photons,
-                   "max_depth": cfg.max_depth, "volume": "distance",
+                   "max_depth": cfgd.max_depth, "volume": "distance",
+                   "driver": "window",
                    "backend": jax.default_backend()},
     }))
 

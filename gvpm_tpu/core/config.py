@@ -71,6 +71,16 @@ class PhotonConfig(PathConfig):
                                       # only drops real photons when the
                                       # stored count exceeds it
     grid_volume_rows: int = 0         # same for the volume photon grid
+    gather_driver: str = "window"     # "window": cell-run windowed dense
+                                      # gather (ops/cellgrid.py, contiguous
+                                      # row streaming — the fast path);
+                                      # "dense": legacy per-candidate row
+                                      # gathers (ops/hashgrid.gather_dense)
+    grid_dims: tuple = (64, 64, 64)   # static cell-grid dims for the
+                                      # window driver (cell >= extent/dims)
+    gather_window: int = 768          # rows streamed per tile run
+    window_q_tile: int = 128          # queries per window tile (smaller
+                                      # tiles -> tighter windows)
 
 
 @dataclasses.dataclass(frozen=True)

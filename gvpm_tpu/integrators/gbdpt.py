@@ -33,6 +33,8 @@ RIGHT, LEFT, DOWN, UP = 0, 1, 2, 3
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
     """One spp of base + 4 offsets. Returns (primal, gx, gy) [H,W,3]."""
+    from .gvpm import _reject_heterogeneous
+    _reject_heterogeneous(scene)
     H, W = scene.height, scene.width
     n = H * W
     k = rng.pass_key(seed, it, rng.STREAM_CAMERA)

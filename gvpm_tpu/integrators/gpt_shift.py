@@ -119,6 +119,8 @@ def render_pass(scene: Scene, cfg: VolPathConfig, seed, it):
     Returns (primal [H,W,3] incl. very-direct, gx, gy, direct) — gradient
     buffers carry per-contribution MIS weights (0.5/0.5 interior split as
     in gpt.py, border weight 1)."""
+    from .gvpm import _reject_heterogeneous
+    _reject_heterogeneous(scene)
     H, W = scene.height, scene.width
     n = H * W
     n_steps = cfg.max_depth + cfg.null_bounces

@@ -106,6 +106,12 @@ def pack_photons(scene: Scene, pv):
         a = derived1[n] if n in derived1 else pv[n]
         cols.append(a.astype(jnp.float32)[..., None])
     packed = jnp.concatenate(cols, axis=-1)
+    # invalid photon slots can hold inf/NaN (dead lanes of the particle
+    # tracer). The legacy driver never gathers them, but the windowed
+    # driver STREAMS contiguous row ranges that may include them, and a
+    # masked lane still poisons sums via 0*inf -> NaN. Zeroed rows flow
+    # through the eval finitely (every division is eps-guarded).
+    packed = jnp.where(jnp.isfinite(packed), packed, 0.0)
     return jnp.pad(packed, ((0, 0), (0, ROW_F - N_SLOTS)))
 
 
@@ -286,16 +292,25 @@ def _compact_me(out, budget):
 def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                    border, max_per_cell=32, q_tile=128, stencil=8,
                    use_manifold=False, me_budget=4096, pv_chain=None,
-                   budget=None, min_depth=0):
+                   budget=None, min_depth=0, window=768,
+                   window_q_tile=128):
     """Surface photon gather with 4-direction shifts, dense planar path.
 
-    packed: pack_photons table permuted into `grid` order
-    (hashgrid.build_sorted). pv_chain: ORIGINAL-order photon dict for ME
-    chain walks (grid.sorted_idx maps back). Semantics match
+    packed: pack_photons table permuted into `grid` order. Two drivers,
+    dispatched on the grid type:
+      - hashgrid.HashGrid (build_sorted): legacy prefix-compacted
+        per-candidate row gathers (one random gather per candidate —
+        ~110M rows/s ceiling measured on-chip);
+      - cellgrid.CellGrid (build_cells): windowed dense streaming
+        (contiguous runs, each photon row streamed once per query tile
+        — the round-3 fast path).
+    pv_chain: ORIGINAL-order photon dict for ME chain walks
+    (grid.sorted_idx maps back). Semantics match
     gvpm.surface_gradient_gather (2D kernel, diffuse reconnection,
     pairwise MIS); grid cell >= 2*max r for stencil=8. Returns
     (primal [N,3], S [4,N,3], W [4,N,3], visits [N], shift_ok [N]).
     """
+    from ..ops import cellgrid
     r_all = base.radius
     s_ax_all, t_ax_all = coordinate_system(base.ns)
     wo_loc_all = to_local(base.ns, s_ax_all, t_ax_all, base.wo)
@@ -312,7 +327,7 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
         sgp_frames.append(
             (ss, tt, to_local(sgps[i].ns, ss, tt, sgps[i].wo)))
 
-    def eval_fn(qi, idx, ok, scale):
+    def eval_core(qi, v, ok, scale, idx):
         gp_p = base.p[qi]
         r = r_all[qi][:, None]
         ns = base.ns[qi]
@@ -322,7 +337,6 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
         bi = base.bsdf[qi][:, None]
         gvalid = base.valid[qi][:, None]
 
-        v = RowView(packed[idx])
         ph_p = v.f3("p")
         rel = pl.sub3(ph_p, pl.expand(gp_p))
         d2 = pl.dot3(rel, rel)
@@ -349,7 +363,7 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
         pre = _shift_caches(v, surface_target=True)
         S = []
         Wb = []
-        ok_count = jnp.zeros(idx.shape[0], jnp.int32)
+        ok_count = jnp.zeros(ok.shape[0], jnp.int32)
         for i in range(4):
             sp = pl.expand(sgps[i].p[qi])
             new_p = (sp[0] + rel[0], sp[1] + rel[1], sp[2] + rel[2])
@@ -386,9 +400,23 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                                       scale, photon_ok=own_ok))
         return res
 
-    out = hashgrid.gather_dense(grid, base.p, eval_fn,
-                                max_per_cell=max_per_cell, q_tile=q_tile,
-                                stencil=stencil, budget=budget)
+    if isinstance(grid, cellgrid.CellGrid):
+        def eval_win(qi, rows, row0, ok, scale):
+            idx = row0 + jnp.broadcast_to(
+                jnp.arange(rows.shape[0], dtype=jnp.int32)[None, :],
+                ok.shape)
+            return eval_core(qi, RowView(rows[None]), ok, scale, idx)
+        out, dropped = cellgrid.gather_window(
+            grid, base.p, eval_win, packed, q_tile=window_q_tile,
+            window=window)
+    else:
+        def eval_fn(qi, idx, ok, scale):
+            return eval_core(qi, RowView(packed[idx]), ok, scale, idx)
+        out = hashgrid.gather_dense(grid, base.p, eval_fn,
+                                    max_per_cell=max_per_cell,
+                                    q_tile=q_tile,
+                                    stencil=stencil, budget=budget)
+        dropped = jnp.zeros((), jnp.int32)
     inv = 1.0 / n_emitted
     primal = base.thr * out["primal"] * inv
     S = jnp.moveaxis(out["S"], 1, 0)
@@ -445,7 +473,7 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                           * c_base_pair, 0.0))
             shift_ok = shift_ok.at[me_q].add(ok_i.astype(jnp.int32))
 
-    return primal, S, W, out["visits"], shift_ok
+    return primal, S, W, out["visits"], shift_ok, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -456,14 +484,17 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                   r_vol, key, border_lane, n_samples=2, max_per_cell=32,
                   q_tile=128, stencil=8, use_manifold=False,
                   me_budget=4096, pv_chain=None, budget=None,
-                  min_depth=0):
+                  min_depth=0, window=768, window_q_tile=128):
     """VPM/distance gather with 4-direction shifts, dense planar path.
 
     Matches gvpm.volume_gradient_gather semantics; packed/pv_chain as in
-    surface_gather. grid cell must cover the stencil (>= 2*r_vol for
-    stencil=8). Returns (primal [M,3], S [4,M,3], W [4,M,3],
-    visits [M], shift_ok [M]).
+    surface_gather, including its two drivers (HashGrid: legacy
+    per-candidate gathers; CellGrid: windowed contiguous streaming).
+    grid cell must cover the stencil (>= 2*r_vol for stencil=8).
+    Returns (primal [M,3], S [4,M,3], W [4,M,3], visits [M],
+    shift_ok [M]).
     """
+    from ..ops import cellgrid
     m = cb["o"].shape[0]
     o, d, length, mi = cb["o"], cb["d"], cb["length"], cb["med"]
     k3 = 3.0 / (4.0 * jnp.pi * jnp.maximum(r_vol ** 3, 1e-18))
@@ -500,12 +531,11 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             thr_s.append(s["thr"] * ms.transmittance * ms.sigma_s
                          / pdf_base_ray[..., None])
 
-        def eval_fn(qi, idx, ok, scale):
+        def eval_core(qi, v, ok, scale, idx):
             xq = x[qi]
             dq = d[qi]
             miq = mi[qi][:, None]
             sokq = sok[qi][:, None]
-            v = RowView(packed[idx])
             ph_p = v.f3("p")
             rel = pl.sub3(ph_p, pl.expand(xq))
             d2 = pl.dot3(rel, rel)
@@ -529,7 +559,7 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             pre = _shift_caches(v, surface_target=False)
             S = []
             Wb = []
-            ok_count = jnp.zeros(idx.shape[0], jnp.int32)
+            ok_count = jnp.zeros(ok.shape[0], jnp.int32)
             for i in range(4):
                 sp = pl.expand(xs[i][qi])
                 new_p = (sp[0] + rel[0], sp[1] + rel[1], sp[2] + rel[2])
@@ -556,10 +586,24 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                                           scale))
             return res
 
-        out = hashgrid.gather_dense(grid, x, eval_fn,
-                                    max_per_cell=max_per_cell,
-                                    q_tile=q_tile, stencil=stencil,
-                                    budget=budget)
+        if isinstance(grid, cellgrid.CellGrid):
+            def eval_win(qi, rows, row0, ok, scale):
+                idx = row0 + jnp.broadcast_to(
+                    jnp.arange(rows.shape[0], dtype=jnp.int32)[None, :],
+                    ok.shape)
+                return eval_core(qi, RowView(rows[None]), ok, scale, idx)
+            out, dropped = cellgrid.gather_window(
+                grid, x, eval_win, packed, q_tile=window_q_tile,
+                window=window)
+        else:
+            def eval_fn(qi, idx, ok, scale):
+                return eval_core(qi, RowView(packed[idx]), ok, scale,
+                                 idx)
+            out = hashgrid.gather_dense(grid, x, eval_fn,
+                                        max_per_cell=max_per_cell,
+                                        q_tile=q_tile, stencil=stencil,
+                                        budget=budget)
+            dropped = jnp.zeros((), jnp.int32)
         primal = w_cam * out["primal"]
         S = jnp.moveaxis(out["S"], 1, 0)
         W = jnp.moveaxis(out["W"], 1, 0)
@@ -601,7 +645,7 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                               * c_base_pair, 0.0))
                 shift_ok = shift_ok.at[me_q].add(ok_i.astype(jnp.int32))
 
-        return primal, S, W, out["visits"], shift_ok
+        return primal, S, W, out["visits"], shift_ok, dropped
 
     keys = jax.random.split(key, n_samples)
     primal = jnp.zeros((m, 3))
@@ -609,12 +653,14 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
     W = jnp.zeros((4, m, 3))
     visits = jnp.zeros((m,), jnp.int32)
     shift_ok = jnp.zeros((m,), jnp.int32)
+    dropped = jnp.zeros((), jnp.int32)
     for k in keys:
-        p_, S_, W_, v_, so_ = one_sample(k)
+        p_, S_, W_, v_, so_, dr_ = one_sample(k)
         primal, S, W = primal + p_, S + S_, W + W_
         visits, shift_ok = visits + v_, shift_ok + so_
+        dropped = dropped + dr_
     inv = 1.0 / (n_samples * n_emitted)
-    return primal * inv, S * inv, W * inv, visits, shift_ok
+    return primal * inv, S * inv, W * inv, visits, shift_ok, dropped
 
 
 # ---------------------------------------------------------------------------

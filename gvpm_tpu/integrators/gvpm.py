@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..core import rng
 from ..core.config import GradientConfig
 from ..core.math import coordinate_system, dot, to_local
-from ..ops import hashgrid, poisson
+from ..ops import cellgrid, hashgrid, poisson
 from ..render import medium as med
 from ..render import phase as phmod
 from ..render.bsdf import eval_bsdf
@@ -380,32 +380,49 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     # before the payload gather — the S*P slot array is ~80% RR-killed
     # padding at paper scale)
     gbudget = cfg.gather_budget or None
+    windowed = cfg.gather_driver == "window"
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
     cell = 2.0 * jnp.maximum(
         jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
     packed = gradient_gather.pack_photons(scene, photons)
-    grid_s, packed_s = hashgrid.build_sorted(
-        pp, surf_valid, scene.world_lo, cell, packed,
-        hash_size=cfg.grid_hash_size, max_rows=cfg.grid_surface_rows)
-    p_s, S_s, W_s, v_s, so_s = gradient_gather.surface_gather(
+    if windowed:
+        grid_s, packed_s = cellgrid.build_cells(
+            pp, surf_valid, scene.world_lo, scene.world_hi, cell,
+            cfg.grid_dims, packed, max_rows=cfg.grid_surface_rows)
+    else:
+        grid_s, packed_s = hashgrid.build_sorted(
+            pp, surf_valid, scene.world_lo, cell, packed,
+            hash_size=cfg.grid_hash_size, max_rows=cfg.grid_surface_rows)
+    p_s, S_s, W_s, v_s, so_s, dr_s = gradient_gather.surface_gather(
         scene, base_s, sgps, grid_s, packed_s, n_photons, border,
         max_per_cell=cfg.grid_max_photons_per_cell,
         q_tile=cfg.gather_q_tile, budget=gbudget,
         min_depth=cfg.min_depth,
+        window=cfg.gather_window, window_q_tile=cfg.window_q_tile,
         use_manifold=cfg.use_manifold, me_budget=cfg.me_pair_budget,
         pv_chain=photons)
     visits = jnp.sum(v_s)
     shift_ok = jnp.sum(so_s)
+    win_dropped = dr_s
 
     # ---- volume (VPM distance | BRE) ----
     if volume in ("distance", "bre"):
         r_vol = r_vol_base * vol_scale
         med_valid = (photons["vtype"] == ptracer.VERT_MEDIUM) & keep
-        grid_v, packed_v = hashgrid.build_sorted(
-            pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed,
-            hash_size=cfg.grid_hash_size, max_rows=cfg.grid_volume_rows)
+        if windowed and volume == "distance":
+            # BRE stays on the hash grid: its cylinder-step membership
+            # needs the 27-stencil exact-cell mode
+            grid_v, packed_v = cellgrid.build_cells(
+                pp, med_valid, scene.medium_lo, scene.medium_hi,
+                2.0 * r_vol, cfg.grid_dims, packed,
+                max_rows=cfg.grid_volume_rows)
+        else:
+            grid_v, packed_v = hashgrid.build_sorted(
+                pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed,
+                hash_size=cfg.grid_hash_size,
+                max_rows=cfg.grid_volume_rows)
 
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
@@ -423,17 +440,20 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         lane = lane_full[order]
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
         if volume == "distance":
-            p_v, S_v, W_v, v_v, so_v = gradient_gather.volume_gather(
+            p_v, S_v, W_v, v_v, so_v, dr_v = gradient_gather.volume_gather(
                 scene, cb, scb_list, grid_v, packed_v, n_photons,
                 r_vol, k_gather, border_lane,
                 n_samples=cfg.volume_samples,
                 max_per_cell=cfg.grid_max_photons_per_cell,
                 q_tile=cfg.gather_q_tile, budget=gbudget,
                 min_depth=cfg.min_depth,
+                window=cfg.gather_window,
+                window_q_tile=cfg.window_q_tile,
                 use_manifold=cfg.use_manifold,
                 me_budget=cfg.me_pair_budget,
                 pv_chain=photons)
         else:
+            dr_v = jnp.zeros((), jnp.int32)
             p_v, S_v, W_v, v_v, so_v = gradient_gather.bre_gather(
                 scene, cb, scb_list, grid_v, packed_v, n_photons,
                 r_vol, border_lane,
@@ -442,6 +462,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 min_depth=cfg.min_depth)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
+        win_dropped = win_dropped + dr_v
         # splat per-segment results back to pixel lanes
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -548,7 +569,25 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         S_s = S_s.at[i].add(w * em_ok)
         W_s = W_s.at[i].add(w * base.emission)
 
-    return p_s, S_s, W_s, dict(visits=visits, shift_ok=shift_ok)
+    return p_s, S_s, W_s, dict(visits=visits, shift_ok=shift_ok,
+                               win_dropped=win_dropped)
+
+
+def _reject_heterogeneous(scene: Scene):
+    """The gradient shifts use homogeneous closed forms (exp(-sigma_t*d)
+    transmittance ratios along reconnected segments, shift.py:117-136);
+    on a heterogeneous medium they would be silently biased. The
+    reference has the same limitation (README.md:66 lists G-VPM
+    heterogeneous as missing). Reject loudly instead of approximating.
+    `het_medium` is a static field, so this check costs nothing under
+    jit."""
+    if scene.het_medium >= 0:
+        raise ValueError(
+            "gradient-domain integrators do not support heterogeneous "
+            "media: the reconnection/ME shifts use homogeneous "
+            "closed-form transmittance ratios and would be biased "
+            "(reference parity: README.md:66). Render this scene with "
+            "the primal integrators (volpath/sppm) instead.")
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
@@ -559,6 +598,7 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
     visits (candidates passing the kernel test — the honest bench
     denominator) and of successful reconnection shifts (the reference's
     per-pass shift success StatsCounter, shift_volume_photon.cpp:40-47)."""
+    _reject_heterogeneous(scene)
     H, W = scene.height, scene.width
     k_cam = rng.pass_key(seed, it, rng.STREAM_CAMERA)
     k_light = rng.pass_key(seed, it, rng.STREAM_LIGHT)
@@ -620,6 +660,8 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         or StatsCounter("gvpm/photon_visits", "value")
     c_shift = StatsCounter.REGISTRY.get("gvpm/shift_success") \
         or StatsCounter("gvpm/shift_success", "percentage")
+    c_drop = StatsCounter.REGISTRY.get("gvpm/window_dropped_rows") \
+        or StatsCounter("gvpm/window_dropped_rows", "value")
 
     for it in range(it0, n_passes):
         p, gx, gy, stats = render_pass(scene, cfg, volume, n_photons,
@@ -629,6 +671,7 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         v = int(stats["visits"])
         c_visits.add(v)
         c_shift.add(int(stats["shift_ok"]), max(4 * v, 1))
+        c_drop.add(int(stats.get("win_dropped", 0)))
         ratio = sppm.radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
         if dim > 0:
