@@ -35,6 +35,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent executable cache: the 4 technique configs compile several
+# large programs; warm runs (and the driver's end-of-round run) reuse them
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 if os.environ.get("GVPM_BENCH_CPU"):
     import jax._src.xla_bridge as _xb
     if _xb.backends_are_initialized():
@@ -170,16 +175,22 @@ def main():
     phases = phase_breakdown(scene, cfg, n_photons, r_vol)
 
     # --- technique matrix (generatorGVPM.py:74-84) ---
-    cfg_me = GradientConfig(use_manifold=True, **base_kw)
-    configs["distance_me"] = run_config(scene, cfg_me, "distance",
-                                        n_photons, r_vol, max(1, passes - 1))
-    kw_b = dict(base_kw, beams=beams)
-    cfg_b = GradientConfig(use_manifold=False, **kw_b)
-    r_b = sppm.base_volume_radius(scene, cfg_b)
-    configs["beam3d"] = run_config(scene, cfg_b, "beam3d", n_photons,
-                                   r_b, max(1, passes - 1))
-    configs["plane0d"] = run_config(scene, cfg_b, "plane0d", n_photons,
-                                    r_b, max(1, passes - 1))
+    # GVPM_BENCH_ONLY=distance skips the secondary configs (each is a
+    # separate multi-minute compile; the persistent cache makes repeat
+    # full runs cheap)
+    if os.environ.get("GVPM_BENCH_ONLY") != "distance":
+        cfg_me = GradientConfig(use_manifold=True, **base_kw)
+        configs["distance_me"] = run_config(scene, cfg_me, "distance",
+                                            n_photons, r_vol,
+                                            max(1, passes - 1))
+        kw_b = dict(base_kw, beams=beams)
+        cfg_b = GradientConfig(use_manifold=False, **kw_b)
+        r_b = sppm.base_volume_radius(scene, cfg_b)
+        configs["beam3d"] = run_config(scene, cfg_b, "beam3d", n_photons,
+                                       r_b, max(1, passes - 1))
+        configs["plane0d"] = run_config(scene, cfg_b, "plane0d",
+                                        n_photons, r_b,
+                                        max(1, passes - 1))
 
     head = configs["distance"]
     n_pix = side * side

@@ -72,11 +72,25 @@ class CameraBeams:
     #    shift_volume_photon.cpp:672)
 
 
-def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
-    """Trace gather points for pixel coords px, py (flattened [N])."""
+def trace(scene: Scene, cfg: PhotonConfig, key, px, py, rand_tile=1):
+    """Trace gather points for pixel coords px, py (flattened [N]).
+
+    rand_tile > 1: px/py hold `rand_tile` pixel groups of equal size and
+    every random draw is tiled so lane i of each group sees the SAME
+    randoms — the one-wavefront form of tracing the base + 4 offset
+    camera paths with identical random sequences (shift_cameraPath.h
+    same-structure retrace), which keeps the machine busy with one
+    [5n]-ray wavefront instead of five [n]-ray launches."""
     n = px.shape[0]
+    assert n % rand_tile == 0
+    g = n // rand_tile
+
+    def draw(k, shape):
+        u = jax.random.uniform(k, (g,) + shape[1:])
+        return jnp.tile(u, (rand_tile,) + (1,) * (len(shape) - 1))
+
     k_pix, k_walk = jax.random.split(key)
-    u = jax.random.uniform(k_pix, (n, 2))
+    u = draw(k_pix, (n, 2))
     o, d, spread = generate_rays(scene, px, py, u)
     pixel = (py.astype(jnp.int32) * scene.width + px.astype(jnp.int32))
 
@@ -145,7 +159,7 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py):
         # continue through specular / null surfaces
         s_ax, t_ax = coordinate_system(ns)
         wi_loc = to_local(ns, s_ax, t_ax, -d)
-        u3 = jax.random.uniform(k, (n, 3))
+        u3 = draw(k, (n, 3))
         bs = sample_bsdf(scene, bi, wi_loc, u3)
         wo_w = to_world(ns, s_ax, t_ax, bs.wo)
         cont = alive_hit & ~found & bs.valid

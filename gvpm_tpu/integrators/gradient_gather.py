@@ -408,7 +408,7 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
             return eval_core(qi, RowView(rows[None]), ok, scale, idx)
         out, dropped = cellgrid.gather_window(
             grid, base.p, eval_win, packed, q_tile=window_q_tile,
-            window=window)
+            window=window, q_valid=base.valid)
     else:
         def eval_fn(qi, idx, ok, scale):
             return eval_core(qi, RowView(packed[idx]), ok, scale, idx)
@@ -594,7 +594,7 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                 return eval_core(qi, RowView(rows[None]), ok, scale, idx)
             out, dropped = cellgrid.gather_window(
                 grid, x, eval_win, packed, q_tile=window_q_tile,
-                window=window)
+                window=window, q_valid=sok)
         else:
             def eval_fn(qi, idx, ok, scale):
                 return eval_core(qi, RowView(packed[idx]), ok, scale,

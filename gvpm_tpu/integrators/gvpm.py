@@ -328,13 +328,23 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     n = px.shape[0]
     W = scene.width
 
-    # base + 4 offset camera paths, SAME random numbers -> same structure
-    base, cam_beams = gatherpoint.trace(scene, cfg, k_cam, px, py)
-    sgps, scbs = [], []
-    for dx, dy in OFFSETS:
-        g, cbm = gatherpoint.trace(scene, cfg, k_cam, px + dx, py + dy)
-        sgps.append(g)
-        scbs.append(cbm)
+    # base + 4 offset camera paths, SAME random numbers -> same
+    # structure; traced as ONE [5n]-ray wavefront (rand_tile repeats the
+    # per-lane randoms across the 5 pixel groups)
+    px5 = jnp.concatenate([px] + [px + dx for dx, _ in OFFSETS])
+    py5 = jnp.concatenate([py] + [py + dy for _, dy in OFFSETS])
+    gp5, cb5 = gatherpoint.trace(scene, cfg, k_cam, px5, py5,
+                                 rand_tile=5)
+    split_gp = jax.tree_util.tree_map(
+        lambda a: a.reshape((5, n) + a.shape[1:]), gp5)
+    split_cb = jax.tree_util.tree_map(
+        lambda a: a.reshape((a.shape[0], 5, n) + a.shape[2:]), cb5)
+    base = jax.tree_util.tree_map(lambda a: a[0], split_gp)
+    cam_beams = jax.tree_util.tree_map(lambda a: a[:, 0], split_cb)
+    sgps = [jax.tree_util.tree_map(lambda a, i=i: a[i], split_gp)
+            for i in range(1, 5)]
+    scbs = [jax.tree_util.tree_map(lambda a, i=i: a[:, i], split_cb)
+            for i in range(1, 5)]
 
     pp = photons["p"]
 

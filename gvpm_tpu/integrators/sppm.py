@@ -72,9 +72,15 @@ def shoot_photons(scene: Scene, cfg: PhotonConfig, n_photons, key):
 
 def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
                   n_emitted, key_cam, key_gather, px, py,
-                  surf_scale, vol_scale, r_vol_base):
+                  surf_scale, vol_scale, r_vol_base,
+                  emission_scale=1.0):
     """Camera pass over a pixel slice. Returns flat local image [n,3]
-    indexed by lane (one lane per pixel in px/py order)."""
+    indexed by lane (one lane per pixel in px/py order).
+
+    emission_scale: weight of the directly-seen emission term — ring-
+    pass callers (parallel.dist.render_pass_sharded_ring) gather the
+    SAME camera paths against each photon partition in turn and pass
+    1/n_steps so emission sums to exactly once."""
     n = px.shape[0]
     gps, cam_beams = gatherpoint.trace(scene, cfg, key_cam, px, py)
     # remap pixel ids to local lane ids so sharded slices stay local
@@ -95,7 +101,7 @@ def gather_images(scene: Scene, cfg: PhotonConfig, volume, photons, beams,
     L_surf = estimators.surface_gather(
         scene, gps_scaled, grid_s, pp, pv_dict, n_emitted, 1.0,
         max_per_cell=cfg.grid_max_photons_per_cell, stencil=8)
-    out = out + L_surf + gps.emission
+    out = out + L_surf + emission_scale * gps.emission
 
     # ---- volume estimator ----
     if volume != "none":

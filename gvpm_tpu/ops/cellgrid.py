@@ -107,7 +107,7 @@ def anchor_ids(grid: CellGrid, x):
 
 
 def gather_window(grid: CellGrid, x, eval_fn, rows_table, q_tile=128,
-                  window=768):
+                  window=768, q_valid=None):
     """Windowed dense gather over the 8-cell stencil.
 
     eval_fn(qi [Qt], rows [W, F], row0 [], ok [Qt, W], scale [Qt, W])
@@ -128,11 +128,20 @@ def gather_window(grid: CellGrid, x, eval_fn, rows_table, q_tile=128,
     P = rows_table.shape[0]
     W = min(window, P)
     aid = anchor_ids(grid, x)
+    if q_valid is not None:
+        # semantically-dead query lanes (failed camera paths, empty
+        # medium segments) carry garbage positions; without this their
+        # anchors interleave into real tiles and blow the windows up.
+        # Sorted to the end they form all-masked no-op tiles.
+        aid = jnp.where(q_valid, aid, Nx * Ny * Nz)
     order = jnp.argsort(aid).astype(jnp.int32)
     n_tiles = -(-Q // q_tile)
     pad = n_tiles * q_tile - Q
     qi_all = jnp.pad(order, (0, pad), constant_values=0)
     vq_all = jnp.arange(n_tiles * q_tile) < Q
+    if q_valid is not None:
+        vq_all = vq_all & jnp.pad(q_valid[order], (0, pad),
+                                  constant_values=False)
     aid_all = jnp.pad(aid[order], (0, pad), constant_values=0)
 
     def tile(args):

@@ -83,6 +83,70 @@ def render_pass_sharded(mesh, scene: Scene, cfg: PhotonConfig, volume,
     return jax.jit(fn)(scene, *args)
 
 
+def render_pass_sharded_ring(mesh, scene: Scene, cfg: PhotonConfig,
+                             volume, n_photons, seed, it, surf_scale,
+                             vol_scale, r_vol_base):
+    """Ring-pass variant of render_pass_sharded for photon maps that
+    exceed one device's HBM (SURVEY §2.8 target; the reference instead
+    replicates the kd-tree per node, sched.h:395).
+
+    Photon partitions are NEVER all-gathered: each device keeps 1/n of
+    the map, gathers its pixel rows against the resident partition, then
+    rotates partitions one hop around the ring (lax.ppermute over ICI) —
+    after n_dev steps every partition has visited every device and the
+    summed image equals the all-gather version EXACTLY (same gather
+    sample points each step: the per-pass gather key is reused, so the
+    sum telescopes into the full-map estimate). Peak photon memory per
+    device: 1/n_dev of the map + one in-flight partition.
+    """
+    H, W = scene.height, scene.width
+    n_dev = mesh.devices.size
+    assert H % n_dev == 0 and n_photons % n_dev == 0
+
+    def body(scene_rep, seed_, it_, surf_s, vol_s, r_vol):
+        me = lax.axis_index(AXIS)
+        k_light = rng.pass_key(seed_[0], it_[0], rng.STREAM_LIGHT)
+        k_light = jax.random.fold_in(k_light, me)
+        photons, beams = sppm.shoot_photons(
+            scene_rep, cfg, n_photons // n_dev, k_light)
+        rows = H // n_dev
+        y0 = me * rows
+        py, px = jnp.mgrid[0:rows, 0:W]
+        px = px.reshape(-1).astype(jnp.float32)
+        py = (py + y0).reshape(-1).astype(jnp.float32)
+        k_cam = jax.random.fold_in(
+            rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA), me)
+        k_gather = jax.random.fold_in(
+            rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER), me)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def step(carry, _):
+            acc, photons, beams = carry
+            img = sppm.gather_images(
+                scene_rep, cfg, volume, photons, beams, n_photons,
+                k_cam, k_gather, px, py, surf_s[0], vol_s[0], r_vol[0],
+                emission_scale=1.0 / n_dev)
+            photons = jax.tree_util.tree_map(
+                lambda a: lax.ppermute(a, AXIS, perm), photons)
+            beams = jax.tree_util.tree_map(
+                lambda a: lax.ppermute(a, AXIS, perm), beams)
+            return (acc + img, photons, beams), None
+
+        (img, _, _), _ = lax.scan(
+            step, (jnp.zeros((rows * W, 3)), photons, beams), None,
+            length=n_dev)
+        return img.reshape(rows, W, 3)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), P()),
+                   out_specs=P(AXIS),
+                   check_rep=False)
+    args = (jnp.asarray([seed]), jnp.asarray([it]),
+            jnp.asarray([surf_scale]), jnp.asarray([vol_scale]),
+            jnp.asarray([r_vol_base]))
+    return jax.jit(fn)(scene, *args)
+
+
 def render(mesh, scene: Scene, cfg: PhotonConfig = PhotonConfig(),
            volume="distance", seed=0, passes=None):
     """Sharded progressive APA render (host driver)."""

@@ -51,7 +51,6 @@ def test_device_count_changes_only_sampling_not_energy():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
-@pytest.mark.slow
 def test_gvpm_sharded_gradient_pass():
     """The gradient pass shards: finite row-sharded primal + gradients,
     energy invariant between 2 and 8 devices (VERDICT r1 task 8)."""
@@ -73,3 +72,28 @@ def test_gvpm_sharded_gradient_pass():
         assert int(stats["visits"]) > 0
         means.append(float(jnp.mean(p)))
     assert abs(means[0] / means[1] - 1.0) < 0.3, means
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_pass_matches_all_gather():
+    """Ring-rotated photon partitions == all-gathered map (exactly: the
+    same gather sample key each ring step makes the partition sums
+    telescope into the full-map estimate). This is the >HBM photon-map
+    path (SURVEY 2.8; VERDICT r3 task 7)."""
+    scene = make_box_scene(w=16, h=16)
+    mesh = meshmod.make_mesh(4)
+    # no-overflow config: with every stencil row under the candidate
+    # budget, partition sums must equal the full-map gather EXACTLY —
+    # any budget overflow subsamples DIFFERENT photons per layout
+    cfg = PhotonConfig(max_depth=4, null_bounces=3, max_cam_depth=4,
+                       surface_photons=8192, volume_photons=8192,
+                       grid_hash_size=1 << 12, volume_samples=1,
+                       grid_max_photons_per_cell=512)
+    r_vol = sppm.base_volume_radius(scene, cfg)
+    img_ag = dist.render_pass_sharded(mesh, scene, cfg, "distance",
+                                      8192, 0, 0, 1.0, 1.0, r_vol)
+    img_rg = dist.render_pass_sharded_ring(mesh, scene, cfg, "distance",
+                                           8192, 0, 0, 1.0, 1.0, r_vol)
+    a, b = np.asarray(img_ag), np.asarray(img_rg)
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=2e-3, atol=2e-5)
