@@ -131,6 +131,27 @@ def phase_breakdown(scene, cfg, n_photons, r_vol):
     return res
 
 
+def _try(label, fn, configs, *a, **kw):
+    """Crash isolation (VERDICT r3 weak #1): one technique config's
+    OOM/compile failure must not erase the others' already-computed
+    numbers. Each config records either its result dict or its error
+    string; progress is flushed to stderr as it happens."""
+    import sys
+    import traceback
+    try:
+        out = fn(*a, **kw)
+        configs[label] = out
+        print(f"[bench] {label}: {out}", file=sys.stderr, flush=True)
+        return out
+    except Exception as e:  # noqa: BLE001 — any device failure isolated
+        msg = f"{type(e).__name__}: {str(e)[:500]}"
+        configs[label] = {"error": msg}
+        print(f"[bench] {label} FAILED: {msg}", file=sys.stderr,
+              flush=True)
+        traceback.print_exc(limit=3, file=sys.stderr)
+        return None
+
+
 def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
@@ -169,10 +190,11 @@ def main():
     # --- headline: VPM distance, windowed driver, no ME ---
     cfg = GradientConfig(use_manifold=False, **base_kw)
     r_vol = sppm.base_volume_radius(scene, cfg)
-    configs["distance"] = run_config(scene, cfg, "distance", n_photons,
-                                     r_vol, passes)
+    _try("distance", run_config, configs, scene, cfg, "distance",
+         n_photons, r_vol, passes)
 
-    phases = phase_breakdown(scene, cfg, n_photons, r_vol)
+    phases = _try("phases", phase_breakdown, {}, scene, cfg, n_photons,
+                  r_vol) or {}
 
     # --- technique matrix (generatorGVPM.py:74-84) ---
     # GVPM_BENCH_ONLY=distance skips the secondary configs (each is a
@@ -180,33 +202,33 @@ def main():
     # full runs cheap)
     if os.environ.get("GVPM_BENCH_ONLY") != "distance":
         cfg_me = GradientConfig(use_manifold=True, **base_kw)
-        configs["distance_me"] = run_config(scene, cfg_me, "distance",
-                                            n_photons, r_vol,
-                                            max(1, passes - 1))
+        _try("distance_me", run_config, configs, scene, cfg_me,
+             "distance", n_photons, r_vol, max(1, passes - 1))
         kw_b = dict(base_kw, beams=beams)
         cfg_b = GradientConfig(use_manifold=False, **kw_b)
         r_b = sppm.base_volume_radius(scene, cfg_b)
-        configs["beam3d"] = run_config(scene, cfg_b, "beam3d", n_photons,
-                                       r_b, max(1, passes - 1))
-        configs["plane0d"] = run_config(scene, cfg_b, "plane0d",
-                                        n_photons, r_b,
-                                        max(1, passes - 1))
+        _try("beam3d", run_config, configs, scene, cfg_b, "beam3d",
+             n_photons, r_b, max(1, passes - 1))
+        _try("plane0d", run_config, configs, scene, cfg_b, "plane0d",
+             n_photons, r_b, max(1, passes - 1))
 
-    head = configs["distance"]
+    head = configs.get("distance") or {}
+    failed = "error" in head or not head
     n_pix = side * side
     cfgd = GradientConfig(use_manifold=False, **base_kw)
     rays = 5 * n_pix * cfgd.max_cam_depth \
         + n_photons * (cfgd.max_depth + cfgd.null_bounces)
+    vps = 0.0 if failed else head["visits_per_s"]
 
     print(json.dumps({
         "metric": "gradient_photon_visits_per_s_per_chip",
-        "value": head["visits_per_s"],
+        "value": vps,
         "unit": "photon-visits/s",
-        "vs_baseline": round(head["visits_per_s"] / TARGET, 4),
-        "visits_per_pass": head["visits_per_pass"],
-        "pass_seconds": head["pass_seconds"],
-        "wavefront_mrays_per_s": round(rays / head["pass_seconds"] / 1e6,
-                                       2),
+        "vs_baseline": round(vps / TARGET, 4),
+        "visits_per_pass": 0 if failed else head["visits_per_pass"],
+        "pass_seconds": 0 if failed else head["pass_seconds"],
+        "wavefront_mrays_per_s": 0 if failed else round(
+            rays / head["pass_seconds"] / 1e6, 2),
         "phases": phases,
         "configs": configs,
         "config": {"film": side, "photons": n_photons,

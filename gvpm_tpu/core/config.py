@@ -52,6 +52,10 @@ class PhotonConfig(PathConfig):
     min_depth: int = 0
     max_cam_depth: int = 8            # camera path budget to 1st diffuse GP
     beam_tile: int = 256              # beam tile size for beam/plane scans
+    beam_seg_tile: int = 32768        # camera segments per beam/plane
+                                      # gather chunk: bounds live pair
+                                      # planes to [seg_tile, beam_tile]
+                                      # (BENCH_r03 OOM fix); 0 = unchunked
     vol_segments_per_pixel: int = 2   # compacted medium-segment budget
     gather_q_tile: int = 256          # queries per gather_dense chunk
                                       # (lax.map serializes chunks: big
@@ -71,11 +75,19 @@ class PhotonConfig(PathConfig):
                                       # only drops real photons when the
                                       # stored count exceeds it
     grid_volume_rows: int = 0         # same for the volume photon grid
-    gather_driver: str = "window"     # "window": cell-run windowed dense
+    gather_driver: str = "cull"       # "cull": narrow-table ball cull +
+                                      # K-compacted eval (the round-4
+                                      # fast path, gather_window_culled);
+                                      # "window": cell-run windowed dense
                                       # gather (ops/cellgrid.py, contiguous
-                                      # row streaming — the fast path);
+                                      # full-row streaming);
                                       # "dense": legacy per-candidate row
                                       # gathers (ops/hashgrid.gather_dense)
+    cull_k: int = 32                  # ball-hit candidate budget per query
+                                      # for the cull driver (first-K with
+                                      # cnt/K compensation on overflow;
+                                      # size ~2-3x the expected kernel
+                                      # occupancy)
     grid_dims: tuple = (64, 64, 64)   # static cell-grid dims for the
                                       # window driver (cell >= extent/dims)
     gather_window: int = 768          # rows streamed per tile run

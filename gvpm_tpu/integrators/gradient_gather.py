@@ -293,17 +293,20 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                    border, max_per_cell=32, q_tile=128, stencil=8,
                    use_manifold=False, me_budget=4096, pv_chain=None,
                    budget=None, min_depth=0, window=768,
-                   window_q_tile=128):
+                   window_q_tile=128, driver="window", k_budget=32):
     """Surface photon gather with 4-direction shifts, dense planar path.
 
-    packed: pack_photons table permuted into `grid` order. Two drivers,
-    dispatched on the grid type:
+    packed: pack_photons table permuted into `grid` order. Three
+    drivers:
       - hashgrid.HashGrid (build_sorted): legacy prefix-compacted
         per-candidate row gathers (one random gather per candidate —
         ~110M rows/s ceiling measured on-chip);
-      - cellgrid.CellGrid (build_cells): windowed dense streaming
+      - cellgrid.CellGrid + driver="window": windowed dense streaming
         (contiguous runs, each photon row streamed once per query tile
-        — the round-3 fast path).
+        — the round-3 fast path);
+      - cellgrid.CellGrid + driver="cull": narrow-table ball cull +
+        K-compacted eval (gather_window_culled — the round-4 fast
+        path; shift math runs only on real kernel visits).
     pv_chain: ORIGINAL-order photon dict for ME chain walks
     (grid.sorted_idx maps back). Semantics match
     gvpm.surface_gradient_gather (2D kernel, diffuse reconnection,
@@ -400,7 +403,15 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                                       scale, photon_ok=own_ok))
         return res
 
-    if isinstance(grid, cellgrid.CellGrid):
+    overflow = jnp.zeros((), jnp.int32)
+    if isinstance(grid, cellgrid.CellGrid) and driver == "cull":
+        def eval_cf(qi, idx, ok, scale):
+            return eval_core(qi, RowView(packed[idx]), ok, scale, idx)
+        out, dropped, overflow = cellgrid.gather_window_culled(
+            grid, base.p, r_all * r_all, cellgrid.narrow_table(packed),
+            eval_cf, packed, q_tile=window_q_tile, window=window,
+            k_budget=k_budget, q_valid=base.valid)
+    elif isinstance(grid, cellgrid.CellGrid):
         def eval_win(qi, rows, row0, ok, scale):
             idx = row0 + jnp.broadcast_to(
                 jnp.arange(rows.shape[0], dtype=jnp.int32)[None, :],
@@ -473,7 +484,8 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                           * c_base_pair, 0.0))
             shift_ok = shift_ok.at[me_q].add(ok_i.astype(jnp.int32))
 
-    return primal, S, W, out["visits"], shift_ok, dropped
+    return (primal, S, W, out["visits"], shift_ok,
+            jnp.stack([dropped, overflow]))
 
 
 # ---------------------------------------------------------------------------
@@ -484,12 +496,14 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                   r_vol, key, border_lane, n_samples=2, max_per_cell=32,
                   q_tile=128, stencil=8, use_manifold=False,
                   me_budget=4096, pv_chain=None, budget=None,
-                  min_depth=0, window=768, window_q_tile=128):
+                  min_depth=0, window=768, window_q_tile=128,
+                  driver="window", k_budget=32):
     """VPM/distance gather with 4-direction shifts, dense planar path.
 
     Matches gvpm.volume_gradient_gather semantics; packed/pv_chain as in
-    surface_gather, including its two drivers (HashGrid: legacy
-    per-candidate gathers; CellGrid: windowed contiguous streaming).
+    surface_gather, including its three drivers (HashGrid: legacy
+    per-candidate gathers; CellGrid: windowed contiguous streaming, or
+    narrow-table cull + K-compacted eval with driver="cull").
     grid cell must cover the stencil (>= 2*r_vol for stencil=8).
     Returns (primal [M,3], S [4,M,3], W [4,M,3], visits [M],
     shift_ok [M]).
@@ -506,6 +520,9 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
     sens = [jnp.clip(scb_list[i]['pdf_prod']
                      / jnp.maximum(cb['pdf_prod'], 1e-20),
                      1e-4, 1e4) for i in range(4)]
+    narrow = (cellgrid.narrow_table(packed)
+              if isinstance(grid, cellgrid.CellGrid) and driver == "cull"
+              else None)
 
     def one_sample(k):
         u = jax.random.uniform(k, (m,))
@@ -586,7 +603,16 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                                           scale))
             return res
 
-        if isinstance(grid, cellgrid.CellGrid):
+        overflow = jnp.zeros((), jnp.int32)
+        if isinstance(grid, cellgrid.CellGrid) and driver == "cull":
+            def eval_cf(qi, idx, ok, scale):
+                return eval_core(qi, RowView(packed[idx]), ok, scale,
+                                 idx)
+            out, dropped, overflow = cellgrid.gather_window_culled(
+                grid, x, r_vol * r_vol, narrow, eval_cf, packed,
+                q_tile=window_q_tile, window=window,
+                k_budget=k_budget, q_valid=sok)
+        elif isinstance(grid, cellgrid.CellGrid):
             def eval_win(qi, rows, row0, ok, scale):
                 idx = row0 + jnp.broadcast_to(
                     jnp.arange(rows.shape[0], dtype=jnp.int32)[None, :],
@@ -645,7 +671,8 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                               * c_base_pair, 0.0))
                 shift_ok = shift_ok.at[me_q].add(ok_i.astype(jnp.int32))
 
-        return primal, S, W, out["visits"], shift_ok, dropped
+        return (primal, S, W, out["visits"], shift_ok,
+                jnp.stack([dropped, overflow]))
 
     keys = jax.random.split(key, n_samples)
     primal = jnp.zeros((m, 3))
@@ -653,7 +680,7 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
     W = jnp.zeros((4, m, 3))
     visits = jnp.zeros((m,), jnp.int32)
     shift_ok = jnp.zeros((m,), jnp.int32)
-    dropped = jnp.zeros((), jnp.int32)
+    dropped = jnp.zeros((2,), jnp.int32)
     for k in keys:
         p_, S_, W_, v_, so_, dr_ = one_sample(k)
         primal, S, W = primal + p_, S + S_, W + W_
@@ -795,6 +822,57 @@ def bre_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
 # ---------------------------------------------------------------------------
 # photon-beam gradient gather (1D) with light-side reconnection shifts
 # ---------------------------------------------------------------------------
+
+def segment_chunked(gather_fn, scene, cb, scb_list, border_lane,
+                    seg_tile, key=None, **kw):
+    """Run a beam/plane gradient gather in CAMERA-SEGMENT chunks.
+
+    The beam/plane gathers materialize [M, beam_tile] pair planes with
+    M = all compacted camera segments; at paper scale (512^2 x 2 =
+    524,288 segments) one f32 plane is 512 MB of HLO temp and dozens
+    are live across the 4-shift loop — the BENCH_r03 OOM. Chunking M
+    bounds every live temp to [seg_tile, beam_tile] while the inner
+    beam-tile scan is unchanged; total pair work is identical.
+    (Reference analog: SubBeamBVH query batching, beams_accel.h:82-260,
+    bounds the same camera x beam product on the CPU side.)
+
+    cb / scb_list entries are [M, ...] dicts, border_lane is [4, M].
+    Padded lanes carry valid=False and are inert. `key`, when given, is
+    folded with the chunk index so stochastic gathers (beam3d chord
+    samples) stay decorrelated across chunks.
+    """
+    m = cb["o"].shape[0]
+    if seg_tile <= 0 or seg_tile >= m:
+        if key is not None:
+            kw["key"] = key
+        return gather_fn(scene, cb, scb_list, border_lane=border_lane,
+                         **kw)
+    n_chunks = -(-m // seg_tile)
+    pad = n_chunks * seg_tile - m
+
+    def ck(a):
+        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_chunks, seg_tile) + a.shape[1:])
+
+    cbc = {k: ck(v) for k, v in cb.items()}
+    scbc = [{k: ck(v) for k, v in s.items()} for s in scb_list]
+    blc = ck(jnp.moveaxis(border_lane, 0, 1))  # [n_chunks, St, 4]
+
+    def body(args):
+        ci, cbi, scbi, bli = args
+        kw2 = dict(kw)
+        if key is not None:
+            kw2["key"] = jax.random.fold_in(key, ci)
+        return gather_fn(scene, cbi, scbi,
+                         border_lane=jnp.moveaxis(bli, -1, 0), **kw2)
+
+    pr, S, W, v, sk = lax.map(
+        body, (jnp.arange(n_chunks), cbc, scbc, blc))
+    pr = pr.reshape(-1, 3)[:m]
+    S = jnp.moveaxis(S, 1, 0).reshape(4, -1, 3)[:, :m]
+    W = jnp.moveaxis(W, 1, 0).reshape(4, -1, 3)[:, :m]
+    return pr, S, W, jnp.sum(v), jnp.sum(sk)
+
 
 def _bake_beam_params(scene: Scene, lb):
     """Per-beam [B] parent material parameters (one cheap table gather

@@ -390,7 +390,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     # before the payload gather — the S*P slot array is ~80% RR-killed
     # padding at paper scale)
     gbudget = cfg.gather_budget or None
-    windowed = cfg.gather_driver == "window"
+    windowed = cfg.gather_driver in ("window", "cull")
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
@@ -411,11 +411,13 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         q_tile=cfg.gather_q_tile, budget=gbudget,
         min_depth=cfg.min_depth,
         window=cfg.gather_window, window_q_tile=cfg.window_q_tile,
+        driver=cfg.gather_driver, k_budget=cfg.cull_k,
         use_manifold=cfg.use_manifold, me_budget=cfg.me_pair_budget,
         pv_chain=photons)
     visits = jnp.sum(v_s)
     shift_ok = jnp.sum(so_s)
-    win_dropped = dr_s
+    win_dropped = dr_s[0]
+    k_overflow = dr_s[1]
 
     # ---- volume (VPM distance | BRE) ----
     if volume in ("distance", "bre"):
@@ -459,11 +461,12 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 min_depth=cfg.min_depth,
                 window=cfg.gather_window,
                 window_q_tile=cfg.window_q_tile,
+                driver=cfg.gather_driver, k_budget=cfg.cull_k,
                 use_manifold=cfg.use_manifold,
                 me_budget=cfg.me_pair_budget,
                 pv_chain=photons)
         else:
-            dr_v = jnp.zeros((), jnp.int32)
+            dr_v = jnp.zeros((2,), jnp.int32)
             p_v, S_v, W_v, v_v, so_v = gradient_gather.bre_gather(
                 scene, cb, scb_list, grid_v, packed_v, n_photons,
                 r_vol, border_lane,
@@ -472,7 +475,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 min_depth=cfg.min_depth)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
-        win_dropped = win_dropped + dr_v
+        win_dropped = win_dropped + dr_v[0]
+        k_overflow = k_overflow + dr_v[1]
         # splat per-segment results back to pixel lanes
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -498,9 +502,10 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         lane = lane_full[order]
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
-        p_v, S_v, W_v, v_v, so_v = gradient_gather.beam_gradient_gather(
-            scene, cb, scb_list, beams, n_photons, r_b, border_lane,
-            tile=cfg.beam_tile)
+        p_v, S_v, W_v, v_v, so_v = gradient_gather.segment_chunked(
+            gradient_gather.beam_gradient_gather, scene, cb, scb_list,
+            border_lane, cfg.beam_seg_tile, lb=beams,
+            n_emitted=n_photons, r_beam=r_b, tile=cfg.beam_tile)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
 
@@ -528,9 +533,11 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         lane = lane_full[order]
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
-        p_v, S_v, W_v, v_v, so_v = gradient_gather.beam3d_gradient_gather(
-            scene, cb, scb_list, beams, n_photons, r_b, k_gather,
-            border_lane, n_samples=cfg.volume_samples, tile=cfg.beam_tile)
+        p_v, S_v, W_v, v_v, so_v = gradient_gather.segment_chunked(
+            gradient_gather.beam3d_gradient_gather, scene, cb, scb_list,
+            border_lane, cfg.beam_seg_tile, key=k_gather, lb=beams,
+            n_emitted=n_photons, r_beam=r_b,
+            n_samples=cfg.volume_samples, tile=cfg.beam_tile)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
 
@@ -558,9 +565,10 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
         planes = estimators.make_planes(scene, beams, k_gather)
-        p_v, S_v, W_v, v_v, so_v = gradient_gather.plane_gradient_gather(
-            scene, cb, scb_list, planes, n_photons, border_lane,
-            tile=cfg.beam_tile)
+        p_v, S_v, W_v, v_v, so_v = gradient_gather.segment_chunked(
+            gradient_gather.plane_gradient_gather, scene, cb, scb_list,
+            border_lane, cfg.beam_seg_tile, planes=planes,
+            n_emitted=n_photons, tile=cfg.beam_tile)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
 
@@ -580,7 +588,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         W_s = W_s.at[i].add(w * base.emission)
 
     return p_s, S_s, W_s, dict(visits=visits, shift_ok=shift_ok,
-                               win_dropped=win_dropped)
+                               win_dropped=win_dropped,
+                               k_overflow=k_overflow)
 
 
 def _reject_heterogeneous(scene: Scene):
@@ -672,6 +681,8 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         or StatsCounter("gvpm/shift_success", "percentage")
     c_drop = StatsCounter.REGISTRY.get("gvpm/window_dropped_rows") \
         or StatsCounter("gvpm/window_dropped_rows", "value")
+    c_kover = StatsCounter.REGISTRY.get("gvpm/cull_k_overflow") \
+        or StatsCounter("gvpm/cull_k_overflow", "value")
 
     for it in range(it0, n_passes):
         p, gx, gy, stats = render_pass(scene, cfg, volume, n_photons,
@@ -682,6 +693,7 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         c_visits.add(v)
         c_shift.add(int(stats["shift_ok"]), max(4 * v, 1))
         c_drop.add(int(stats.get("win_dropped", 0)))
+        c_kover.add(int(stats.get("k_overflow", 0)))
         ratio = sppm.radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
         if dim > 0:

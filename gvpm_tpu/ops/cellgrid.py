@@ -199,3 +199,133 @@ def gather_window(grid: CellGrid, x, eval_fn, rows_table, q_tile=128,
     # pair lists need no unsorting — just flatten across tiles
     out.update({k: v.reshape((-1,) + v.shape[2:]) for k, v in me.items()})
     return out, dropped
+
+
+def narrow_table(rows_table):
+    """Photon POSITIONS in planes-major [3, P] layout for the cull
+    sweep. A [W, 3] slice of the row table would still stream full
+    (8,128) lane tiles (3 lanes pad to 128); transposed, a [3, W]
+    dynamic slice streams 8 sublanes x W lanes = 32 B/row of real
+    traffic — 16x less than the 512 B packed row."""
+    return jnp.transpose(rows_table[:, :3])
+
+
+def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
+                         rows_table, q_tile=256, window=2048,
+                         k_budget=32, q_valid=None):
+    """Two-phase windowed gather: NARROW-TABLE BALL CULL + compacted
+    eval — the round-4 hot path.
+
+    Phase 1 streams a [3, W] window of photon positions per stencil run
+    (narrow_table: 12 B/row vs the 512 B packed row) and ball-tests
+    every (query, row) pair; hits are rank-compacted per query into K
+    candidate slots via jnp.searchsorted over the per-row hit prefix
+    sums (pure vector code — no scatter). Phase 2 gathers ONLY the hit
+    rows' full 128-f32 packed rows and calls eval_fn ONCE per tile on
+    [Qt, K] planes, so the 5-way shift math runs on real kernel visits
+    instead of every streamed row. (The reference hot loop reads full
+    photon records only after the kd-tree ball test too,
+    shift_volume_photon.cpp:489-655 / gvpm_accel.h:269-312.)
+
+    eval_fn(qi [Qt], idx [Qt,K], ok [Qt,K], scale [Qt,K]) -> pytree of
+    [Qt,...] arrays reduced over K — the hashgrid.gather_dense
+    contract; idx are absolute rows of rows_table. r2q: squared kernel
+    radius, scalar or [Q] (the cull test is strictly the ball test —
+    finer per-pair predicates stay in eval_fn and only zero
+    contributions, never candidates).
+
+    Returns (pytree [Q,...] in original query order, dropped [] int32,
+    overflow [] int32): `dropped` counts range rows lost to window
+    clipping (covered-fraction compensated — approximate when photons
+    cluster, counted so the StatsCounter exposes it); `overflow` counts
+    ball HITS beyond the K budget (first-K kept with cnt/K
+    compensation — biased toward lower-id cells only when a query's
+    ball holds > K photons; size K to the kernel regime).
+    """
+    Q = x.shape[0]
+    Nx, Ny, Nz = grid.dims
+    P = rows_table.shape[0]
+    W = min(window, P)
+    K = k_budget
+    r2q = jnp.broadcast_to(jnp.asarray(r2q, jnp.float32), (Q,))
+    aid = anchor_ids(grid, x)
+    if q_valid is not None:
+        aid = jnp.where(q_valid, aid, Nx * Ny * Nz)
+    order = jnp.argsort(aid).astype(jnp.int32)
+    n_tiles = -(-Q // q_tile)
+    pad = n_tiles * q_tile - Q
+    qi_all = jnp.pad(order, (0, pad), constant_values=0)
+    vq_all = jnp.arange(n_tiles * q_tile) < Q
+    if q_valid is not None:
+        vq_all = vq_all & jnp.pad(q_valid[order], (0, pad),
+                                  constant_values=False)
+    aid_all = jnp.pad(aid[order], (0, pad), constant_values=0)
+    x_all = jnp.pad(x[order], ((0, pad), (0, 0)))
+    r2_all = jnp.pad(r2q[order], (0, pad))
+    ranks = jnp.arange(1, K + 1, dtype=jnp.int32)          # [K]
+    vss = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"),
+                   in_axes=(0, None))
+
+    def tile(args):
+        qi, vq, a, xq, r2 = args
+        cand = jnp.zeros((q_tile, K), jnp.int32)
+        csc = jnp.ones((q_tile, K), jnp.float32)
+        cok = jnp.zeros((q_tile, K), jnp.bool_)
+        cnt = jnp.zeros((q_tile,), jnp.int32)
+        dropped = jnp.zeros((), jnp.int32)
+        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+        for dy, dz in RUN_OFFSETS:
+            s = a + (dz * Ny + dy) * Nx
+            r0 = grid.bucket_start[s]
+            r1 = grid.bucket_start[s + 2]
+            lo_w = jnp.clip(jnp.min(jnp.where(vq, r0, P)), 0,
+                            max(P - W, 0))
+            nw = lax.dynamic_slice(narrow, (0, lo_w), (3, W))
+            absrow = lo_w + j                               # [1, W]
+            member = (absrow >= r0[:, None]) & (absrow < r1[:, None]) \
+                & vq[:, None]
+            dx = nw[0][None, :] - xq[:, 0:1]
+            dy_ = nw[1][None, :] - xq[:, 1:2]
+            dz_ = nw[2][None, :] - xq[:, 2:3]
+            d2 = dx * dx + dy_ * dy_ + dz_ * dz_
+            hit = member & (d2 < r2[:, None])
+            total = jnp.maximum(r1 - r0, 0)
+            cov = jnp.maximum(jnp.minimum(r1, lo_w + W)
+                              - jnp.maximum(r0, lo_w), 0)
+            clip_s = jnp.where(
+                (cov > 0) & (cov < total),
+                total.astype(jnp.float32)
+                / jnp.maximum(cov, 1).astype(jnp.float32), 1.0)
+            dropped = dropped + jnp.sum(jnp.where(vq, total - cov, 0))
+            cs = cnt[:, None] + jnp.cumsum(hit.astype(jnp.int32),
+                                           axis=1)          # [Qt, W]
+            cnt_new = cs[:, -1]
+            jj = vss(cs, ranks)                             # [Qt, K]
+            fresh = (ranks[None, :] > cnt[:, None]) \
+                & (ranks[None, :] <= cnt_new[:, None])
+            cand = jnp.where(fresh, lo_w + jnp.minimum(jj, W - 1), cand)
+            csc = jnp.where(fresh, clip_s[:, None], csc)
+            cok = cok | fresh
+            cnt = cnt_new
+        over = jnp.sum(jnp.maximum(cnt - K, 0))
+        csc = csc * jnp.where(cnt > K,
+                              cnt.astype(jnp.float32) / K, 1.0)[:, None]
+        res = dict(eval_fn(qi, cand, cok, csc))
+        res_me = {k: res.pop(k) for k in list(res) if k.startswith("me_")}
+        return (res, res_me), (dropped, over)
+
+    (out, me), (dropped, over) = jax.lax.map(
+        tile, (qi_all.reshape(n_tiles, q_tile),
+               vq_all.reshape(n_tiles, q_tile),
+               aid_all.reshape(n_tiles, q_tile),
+               x_all.reshape(n_tiles, q_tile, 3),
+               r2_all.reshape(n_tiles, q_tile)))
+
+    def unsort(a):
+        flat = a.reshape((-1,) + a.shape[2:])[:Q]
+        res = jnp.zeros_like(flat)
+        return res.at[order].set(flat)
+
+    out = jax.tree_util.tree_map(unsort, out)
+    out.update({k: v.reshape((-1,) + v.shape[2:]) for k, v in me.items()})
+    return out, jnp.sum(dropped), jnp.sum(over)
