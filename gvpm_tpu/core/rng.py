@@ -36,3 +36,17 @@ def index_keys(key, n):
 
 def uniform(key, shape=(), lo=0.0, hi=1.0):
     return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+
+
+def lane_uniform(key, lanes, suffix=()):
+    """Uniform draws keyed by (key, lane id) — [len(lanes), *suffix].
+
+    Unlike jax.random.uniform(key, (n,...)), whose bits depend on a
+    lane's POSITION in the batch, these depend only on the lane's ID:
+    slicing, sharding, or reordering the batch leaves each lane's
+    randoms unchanged. This is what makes camera wavefronts (keyed by
+    pixel id) and photon walks (keyed by global path index) bitwise
+    device-count-invariant (module docstring contract; the reference's
+    'deterministic' work-unit pinning, gvpm_proc.cpp:352-378)."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(lanes)
+    return jax.vmap(lambda k: jax.random.uniform(k, suffix))(keys)

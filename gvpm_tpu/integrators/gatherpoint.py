@@ -85,8 +85,15 @@ def trace(scene: Scene, cfg: PhotonConfig, key, px, py, rand_tile=1):
     assert n % rand_tile == 0
     g = n // rand_tile
 
+    # randoms keyed by the BASE group's pixel id, not lane position:
+    # device-count invariant (rng.lane_uniform) and shared across the
+    # offset groups (same-structure retrace needs identical sequences)
+    from ..core import rng as _rng
+    pix_base = (py[:g].astype(jnp.int32) * scene.width
+                + px[:g].astype(jnp.int32))
+
     def draw(k, shape):
-        u = jax.random.uniform(k, (g,) + shape[1:])
+        u = _rng.lane_uniform(k, pix_base, shape[1:])
         return jnp.tile(u, (rand_tile,) + (1,) * (len(shape) - 1))
 
     k_pix, k_walk = jax.random.split(key)

@@ -69,13 +69,15 @@ N_SLOTS = _k
 ROW_F = 128  # declared row width (see module docstring)
 
 
-def pack_photons(scene: Scene, pv):
+def pack_photons(scene: Scene, pv, valid=None):
     """Photon SoA dict -> one [P, 128] f32 row table.
 
     Integer fields are stored as f32 (exact below 2^24 — photon-map rows
     and scene tables are far smaller); sigma_t of the photon's medium is
     folded in at pack time so the inner loop never touches the medium
-    tables.
+    tables. `valid` [P] restricts the NaN scrub to dead lanes (see
+    below) so a genuine non-finite in a live photon stays visible in
+    images/tests instead of being silently zeroed.
     """
     from ..core.tables import take
     mi = jnp.clip(pv["med"], 0, scene.med_sigma_a.shape[0] - 1)
@@ -110,8 +112,14 @@ def pack_photons(scene: Scene, pv):
     # tracer). The legacy driver never gathers them, but the windowed
     # driver STREAMS contiguous row ranges that may include them, and a
     # masked lane still poisons sums via 0*inf -> NaN. Zeroed rows flow
-    # through the eval finitely (every division is eps-guarded).
-    packed = jnp.where(jnp.isfinite(packed), packed, 0.0)
+    # through the eval finitely (every division is eps-guarded). With a
+    # `valid` mask only DEAD rows are scrubbed (live-photon finiteness
+    # bugs must surface, not vanish).
+    scrub = jnp.where(jnp.isfinite(packed), packed, 0.0)
+    if valid is not None:
+        packed = jnp.where(valid[:, None], packed, scrub)
+    else:
+        packed = scrub
     return jnp.pad(packed, ((0, 0), (0, ROW_F - N_SLOTS)))
 
 
@@ -525,7 +533,11 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
               else None)
 
     def one_sample(k):
-        u = jax.random.uniform(k, (m,))
+        if "gid" in cb:   # device-count-invariant draws (core/rng.py)
+            from ..core import rng as _rng
+            u = _rng.lane_uniform(k, cb["gid"])
+        else:
+            u = jax.random.uniform(k, (m,))
         ms = med.sample_distance(scene, mi, o, d, length, u,
                                  strategy=med.ALWAYS_VALID)
         x = ms.p
@@ -1164,7 +1176,11 @@ def beam3d_gradient_gather(scene: Scene, cb, scb_list, lb, n_emitted,
 
     def one_sample(k):
         k_t, k_s = jax.random.split(k)
-        u = jax.random.uniform(k_t, (m,))
+        if "gid" in cb:   # device-count-invariant draws (core/rng.py)
+            from ..core import rng as _rng
+            u = _rng.lane_uniform(k_t, cb["gid"])
+        else:
+            u = jax.random.uniform(k_t, (m,))
         ms = med.sample_distance(scene, mi, oc, dc, lc, u,
                                  strategy=med.ALWAYS_VALID)
         x = ms.p
@@ -1203,8 +1219,13 @@ def beam3d_gradient_gather(scene: Scene, cb, scb_list, lb, n_emitted,
             chord = jnp.maximum(s1 - s0, 0.0)
             okb = sok[:, None] & tvb[None] & (chord > 0.0) \
                 & (mi[:, None] == tmb[None])
-            us = jax.random.uniform(jax.random.fold_in(k_s, ti),
-                                    s_mid.shape)
+            if "gid" in cb:   # device-count-invariant chord samples
+                from ..core import rng as _rng
+                us = _rng.lane_uniform(jax.random.fold_in(k_s, ti),
+                                       cb["gid"], (s_mid.shape[1],))
+            else:
+                us = jax.random.uniform(jax.random.fold_in(k_s, ti),
+                                        s_mid.shape)
             s = s0 + us * chord
             y = tob[None] + tdb[None] * s[..., None]
             dist2 = jnp.sum((x[:, None, :] - y) ** 2, axis=-1)

@@ -318,7 +318,7 @@ def assemble_gradients(primal_px, S_px, W_px, H, W_img):
 
 def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                  photons, beams, k_cam, k_gather, px, py, border,
-                 surf_scale, vol_scale, r_vol_base):
+                 surf_scale, vol_scale, r_vol_base, emission_scale=1.0):
     """The per-pixel-block gradient pass core: camera traces (base + 4
     offsets), surface + volume gathers with shifts. Returns flat
     (primal [n,3], S [4,n,3], W [4,n,3], stats) for the given pixel
@@ -376,12 +376,21 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         beams = dict(beams, reconnectable=jnp.zeros_like(
             beams["reconnectable"]))
 
+    # global (pixel, step) lane id: gather randoms keyed by it are
+    # device-count invariant (rng.lane_uniform; VERDICT r3 weak #6)
+    pix_id = (py.astype(jnp.int32) * scene.width
+              + px.astype(jnp.int32))
+
     def flat_cb(c):
         cd = jax.tree_util.tree_map(
             lambda a: a.reshape((-1,) + a.shape[2:]), c)
+        n_steps_c = c.valid.shape[0]
+        gid = (jnp.arange(n_steps_c, dtype=jnp.int32)[:, None]
+               * jnp.int32(scene.width * scene.height)
+               + pix_id[None, :]).reshape(-1)
         return dict(valid=cd.valid, o=cd.o, d=cd.d, length=cd.length,
                     med=cd.med, thr=cd.thr, pdf_prod=cd.pdf_prod,
-                    depth=cd.depth)
+                    depth=cd.depth, gid=gid)
 
     # ---- surface (dense planar path, gradient_gather.py) ----
     # pack ONCE over the slot array (one-hot table lookups keep it off
@@ -396,7 +405,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
     cell = 2.0 * jnp.maximum(
         jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
-    packed = gradient_gather.pack_photons(scene, photons)
+    packed = gradient_gather.pack_photons(
+        scene, photons, valid=(photons["vtype"] != ptracer.VERT_NONE))
     if windowed:
         grid_s, packed_s = cellgrid.build_cells(
             pp, surf_valid, scene.world_lo, scene.world_hi, cell,
@@ -580,10 +590,13 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
 
     # ---- directly-seen emission (directTracing, gvpm.cpp:1231-1240) ----
-    p_s = p_s + base.emission
+    # emission_scale: photon-INDEPENDENT term — ring-pass callers add
+    # the photon terms n_dev times and scale this one down to match
+    # (parallel/dist.py gvpm_render_pass_sharded_ring)
+    p_s = p_s + emission_scale * base.emission
     for i in range(4):
         em_ok = sgps[i].emission  # shifted path emission
-        w = jnp.where(border[i], 1.0, 0.5)[..., None]
+        w = jnp.where(border[i], 1.0, 0.5)[..., None] * emission_scale
         S_s = S_s.at[i].add(w * em_ok)
         W_s = W_s.at[i].add(w * base.emission)
 

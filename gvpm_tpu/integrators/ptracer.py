@@ -117,18 +117,32 @@ class LightBeams:
     #   (false after a null-boundary crossing, where o != parent_p)
 
 
-def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
+def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key,
+          path_offset=None):
     """Trace n_paths light paths; returns (LightVertices, LightBeams).
 
     Normalization: estimators divide by n_paths (photon count), matching
     the reference's per-emitted-path scaling (GatherPhotonProcess).
-    """
+
+    path_offset (optional int): randoms become functions of
+    (key, path_offset + lane) instead of lane position — sharded
+    shooters passing the SAME key and their global path offset produce
+    the identical global photon set at any device count (the
+    'deterministic mode' contract, core/rng.py)."""
+    from ..core import rng as _rng
     n = n_paths
     n_steps = cfg.max_depth + cfg.null_bounces
     k_emit, k_walk = jax.random.split(key, 2)
+    lanes = (None if path_offset is None
+             else path_offset + jnp.arange(n, dtype=jnp.int32))
+
+    def draw(k, shape):
+        if lanes is None:
+            return jax.random.uniform(k, shape)
+        return _rng.lane_uniform(k, lanes, shape[1:])
 
     # --- emission across all emitter groups (area | delta | env) ---------
-    em = sample_photon(scene, k_emit, n)
+    em = sample_photon(scene, k_emit, n, lanes=lanes)
     alpha0 = jnp.where(em["valid"][..., None], em["alpha"], 0.0)
 
     state = dict(
@@ -158,7 +172,7 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
 
         hit = intersect(scene, o, d)
         t_far = jnp.where(hit.valid, hit.t, jnp.inf)
-        u_med = jax.random.uniform(k_med, (n, 2))
+        u_med = draw(k_med, (n, 2))
         ms = med.sample_distance(scene, cur_med, o, d, t_far,
                                  u_med[:, 0], u_channel=u_med[:, 1])
 
@@ -222,14 +236,14 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
 
         # --- continue the walk ---
         # medium: sample phase; surface: sample BSDF (importance mode)
-        u2 = jax.random.uniform(k_scat, (n, 2))
+        u2 = draw(k_scat, (n, 2))
         wo_med, pdf_phase = ph.sample_phase(scene, cur_med, -d, u2)
         alpha_med_out = alpha_in_med * ms.sigma_s
 
         ns = hit.ns  # true normal: dielectric needs the side sign
         s_ax, t_ax = coordinate_system(ns)
         wi_loc = to_local(ns, s_ax, t_ax, -d)
-        u3 = jax.random.uniform(k_scat, (n, 3))
+        u3 = draw(k_scat, (n, 3))
         bs = sample_bsdf(scene, bi, wi_loc, u3, transport="importance")
         wo_surf = to_world(ns, s_ax, t_ax, bs.wo)
         alpha_surf_out = alpha_in_surf * bs.weight
@@ -259,7 +273,7 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key):
             jnp.max(new_alpha, axis=-1)
             / jnp.maximum(jnp.max(alpha, axis=-1), 1e-20), cfg.rr_clamp)
         do_rr = (new_depth >= cfg.rr_depth_photon) & active & advances
-        u_rr = jax.random.uniform(k_rr, (n,))
+        u_rr = draw(k_rr, (n,))
         rr_kill = do_rr & (u_rr >= q)
         new_alpha = jnp.where((do_rr & ~rr_kill)[..., None],
                               new_alpha / jnp.maximum(q, 1e-6)[..., None],

@@ -51,9 +51,12 @@ def base_volume_radius(scene: Scene, cfg: PhotonConfig):
     return 0.02 * diag * cfg.initial_scale_volume
 
 
-def shoot_photons(scene: Scene, cfg: PhotonConfig, n_photons, key):
-    """Light pass -> (photon dict, beam dict), flattened [S*P]/[S*P]."""
-    lv, lbeams = ptracer.shoot(scene, cfg, n_photons, key)
+def shoot_photons(scene: Scene, cfg: PhotonConfig, n_photons, key,
+                  path_offset=None):
+    """Light pass -> (photon dict, beam dict), flattened [S*P]/[S*P].
+    path_offset: see ptracer.shoot (device-count-invariant sharding)."""
+    lv, lbeams = ptracer.shoot(scene, cfg, n_photons, key,
+                               path_offset=path_offset)
     pv, _ = ptracer.flatten_vertices(lv)
     photons = {f: getattr(pv, f) for f in pv.__dataclass_fields__}
     lb = jax.tree_util.tree_map(

@@ -67,7 +67,12 @@ def build_cells(positions, valid, lo, hi, min_cell, dims, payload,
     positions [P,3]; valid [P]; lo/hi: domain AABB; min_cell: scalar
     (>= 2r for the 8-stencil); dims: STATIC (Nx,Ny,Nz). payload: pytree
     of [P,...] arrays. max_rows > 0 caps the sorted table (invalid rows
-    sort last; see hashgrid.build_sorted for the contract).
+    sort last; see hashgrid.build_sorted for the contract). NOTE the
+    cap is ANISOTROPIC: rows sort by row-major cell id, so when the
+    valid count exceeds max_rows the highest linear ids — the top
+    z-slabs — are truncated first (unlike hash buckets, cell ids are
+    spatial). Size grid_*_rows to the stored-photon count; the cap is a
+    memory guard, not a sampler.
     Returns (CellGrid, payload_sorted).
     """
     Nx, Ny, Nz = dims
@@ -202,12 +207,24 @@ def gather_window(grid: CellGrid, x, eval_fn, rows_table, q_tile=128,
 
 
 def narrow_table(rows_table):
-    """Photon POSITIONS in planes-major [3, P] layout for the cull
-    sweep. A [W, 3] slice of the row table would still stream full
-    (8,128) lane tiles (3 lanes pad to 128); transposed, a [3, W]
-    dynamic slice streams 8 sublanes x W lanes = 32 B/row of real
-    traffic — 16x less than the 512 B packed row."""
-    return jnp.transpose(rows_table[:, :3])
+    """Photon POSITIONS in lane-BLOCKED [ceil(P/128), 384] layout for
+    the cull sweep: row r holds photons [128r, 128r+128) as three
+    128-lane groups (x | y | z). Rationale, both measured on-chip:
+    a [W, 3] slice of the row table streams full (8,128) lane tiles
+    (3 lanes pad to 128 — no saving over the 512 B packed row), and a
+    [3, W] transposed layout needs LANE-dimension dynamic slices
+    (~110 us each — cross-lane shifts). Blocked rows make the window a
+    SUBLANE-dim dynamic slice — the 483 M rows/s contiguous-window
+    primitive — at 12 B/photon of real traffic. Rows are padded with
+    +inf so padded lanes can never pass a ball test."""
+    P = rows_table.shape[0]
+    Pb = -(-P // 128)
+    cols = []
+    for c in range(3):
+        v = jnp.pad(rows_table[:, c], (0, Pb * 128 - P),
+                    constant_values=jnp.inf)
+        cols.append(v.reshape(Pb, 128))
+    return jnp.concatenate(cols, axis=1)
 
 
 def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
@@ -245,8 +262,11 @@ def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
     Q = x.shape[0]
     Nx, Ny, Nz = grid.dims
     P = rows_table.shape[0]
-    W = min(window, P)
+    Pb = narrow.shape[0]                       # blocked rows of 128
+    Wb = max(1, min(-(-window // 128), Pb))
+    W = Wb * 128
     K = k_budget
+    BIG = jnp.int32(1 << 30)
     r2q = jnp.broadcast_to(jnp.asarray(r2q, jnp.float32), (Q,))
     aid = anchor_ids(grid, x)
     if q_valid is not None:
@@ -262,15 +282,14 @@ def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
     aid_all = jnp.pad(aid[order], (0, pad), constant_values=0)
     x_all = jnp.pad(x[order], ((0, pad), (0, 0)))
     r2_all = jnp.pad(r2q[order], (0, pad))
-    ranks = jnp.arange(1, K + 1, dtype=jnp.int32)          # [K]
-    vss = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="left"),
-                   in_axes=(0, None))
 
     def tile(args):
         qi, vq, a, xq, r2 = args
-        cand = jnp.zeros((q_tile, K), jnp.int32)
-        csc = jnp.ones((q_tile, K), jnp.float32)
-        cok = jnp.zeros((q_tile, K), jnp.bool_)
+        # hit-compaction via ONE top_k over the 4 runs' keyed hits —
+        # measured on-chip: top_k select adds ~nothing over the ball
+        # test, where a searchsorted rank-select cost 3.2 ms/tile and
+        # a scatter 4.2 ms/tile
+        keys4, scale4 = [], []
         cnt = jnp.zeros((q_tile,), jnp.int32)
         dropped = jnp.zeros((), jnp.int32)
         j = jnp.arange(W, dtype=jnp.int32)[None, :]
@@ -278,15 +297,19 @@ def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
             s = a + (dz * Ny + dy) * Nx
             r0 = grid.bucket_start[s]
             r1 = grid.bucket_start[s + 2]
-            lo_w = jnp.clip(jnp.min(jnp.where(vq, r0, P)), 0,
-                            max(P - W, 0))
-            nw = lax.dynamic_slice(narrow, (0, lo_w), (3, W))
+            lo_b = jnp.clip(jnp.min(jnp.where(vq, r0, P)) // 128, 0,
+                            Pb - Wb)
+            lo_w = lo_b * 128
+            sl = lax.dynamic_slice(narrow, (lo_b, 0), (Wb, 384))
+            nx = sl[:, :128].reshape(W)
+            ny = sl[:, 128:256].reshape(W)
+            nz = sl[:, 256:384].reshape(W)
             absrow = lo_w + j                               # [1, W]
             member = (absrow >= r0[:, None]) & (absrow < r1[:, None]) \
                 & vq[:, None]
-            dx = nw[0][None, :] - xq[:, 0:1]
-            dy_ = nw[1][None, :] - xq[:, 1:2]
-            dz_ = nw[2][None, :] - xq[:, 2:3]
+            dx = nx[None, :] - xq[:, 0:1]
+            dy_ = ny[None, :] - xq[:, 1:2]
+            dz_ = nz[None, :] - xq[:, 2:3]
             d2 = dx * dx + dy_ * dy_ + dz_ * dz_
             hit = member & (d2 < r2[:, None])
             total = jnp.maximum(r1 - r0, 0)
@@ -297,16 +320,19 @@ def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
                 total.astype(jnp.float32)
                 / jnp.maximum(cov, 1).astype(jnp.float32), 1.0)
             dropped = dropped + jnp.sum(jnp.where(vq, total - cov, 0))
-            cs = cnt[:, None] + jnp.cumsum(hit.astype(jnp.int32),
-                                           axis=1)          # [Qt, W]
-            cnt_new = cs[:, -1]
-            jj = vss(cs, ranks)                             # [Qt, K]
-            fresh = (ranks[None, :] > cnt[:, None]) \
-                & (ranks[None, :] <= cnt_new[:, None])
-            cand = jnp.where(fresh, lo_w + jnp.minimum(jj, W - 1), cand)
-            csc = jnp.where(fresh, clip_s[:, None], csc)
-            cok = cok | fresh
-            cnt = cnt_new
+            keys4.append(jnp.where(hit, jnp.broadcast_to(absrow,
+                                                         hit.shape), BIG))
+            scale4.append(clip_s)
+            cnt = cnt + jnp.sum(hit, axis=1)
+        allk = jnp.concatenate(keys4, axis=1)               # [Qt, 4W]
+        neg, sel = lax.top_k(-allk, K)                      # K smallest
+        cand = -neg                                         # absrow | -BIG
+        cok = cand < BIG
+        cand = jnp.where(cok, cand, 0)
+        run_of = sel // W                                   # [Qt, K]
+        csc = jnp.take_along_axis(jnp.stack(scale4, axis=1),
+                                  run_of, axis=1)
+        csc = jnp.where(cok, csc, 1.0)
         over = jnp.sum(jnp.maximum(cnt - K, 0))
         csc = csc * jnp.where(cnt > K,
                               cnt.astype(jnp.float32) / K, 1.0)[:, None]

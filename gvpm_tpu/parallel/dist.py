@@ -48,26 +48,27 @@ def render_pass_sharded(mesh, scene: Scene, cfg: PhotonConfig, volume,
 
     def body(scene_rep, seed_, it_, surf_s, vol_s, r_vol):
         me = lax.axis_index(AXIS)
-        # ---- light pass: local photon partition, deterministic keys ----
+        # ---- light pass: local photon partition. SAME key on every
+        # device + global path offset -> the union of partitions is the
+        # identical photon set at any device count (rng.lane_uniform) --
         k_light = rng.pass_key(seed_[0], it_[0], rng.STREAM_LIGHT)
-        k_light = jax.random.fold_in(k_light, me)
         photons, beams = sppm.shoot_photons(
-            scene_rep, cfg, n_photons // n_dev, k_light)
+            scene_rep, cfg, n_photons // n_dev, k_light,
+            path_offset=me * (n_photons // n_dev))
         # ---- photon partitions ride ICI to every device ----
         photons = jax.tree_util.tree_map(
             lambda a: lax.all_gather(a, AXIS, tiled=True), photons)
         beams = jax.tree_util.tree_map(
             lambda a: lax.all_gather(a, AXIS, tiled=True), beams)
-        # ---- camera pass: local pixel rows ----
+        # ---- camera pass: local pixel rows; randoms keyed by PIXEL id
+        # inside gatherpoint.trace, so no per-device key fold ----
         rows = H // n_dev
         y0 = me * rows
         py, px = jnp.mgrid[0:rows, 0:W]
         px = px.reshape(-1).astype(jnp.float32)
         py = (py + y0).reshape(-1).astype(jnp.float32)
-        k_cam = jax.random.fold_in(
-            rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA), me)
-        k_gather = jax.random.fold_in(
-            rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER), me)
+        k_cam = rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA)
+        k_gather = rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER)
         img = sppm.gather_images(scene_rep, cfg, volume, photons, beams,
                                  n_photons, k_cam, k_gather, px, py,
                                  surf_s[0], vol_s[0], r_vol[0])
@@ -94,30 +95,39 @@ def render_pass_sharded_ring(mesh, scene: Scene, cfg: PhotonConfig,
     the map, gathers its pixel rows against the resident partition, then
     rotates partitions one hop around the ring (lax.ppermute over ICI) —
     after n_dev steps every partition has visited every device and the
-    summed image equals the all-gather version EXACTLY (same gather
-    sample points each step: the per-pass gather key is reused, so the
-    sum telescopes into the full-map estimate). Peak photon memory per
-    device: 1/n_dev of the map + one in-flight partition.
+    summed image equals the all-gather version EXACTLY for estimators
+    LINEAR in the photon partition (same gather sample points each
+    step: the per-pass gather key is reused, so the sum telescopes into
+    the full-map estimate). Peak photon memory per device: 1/n_dev of
+    the map + one in-flight partition.
+
+    NOT valid with cfg.bre_knn > 0: per-photon kNN radii from the
+    partition-LOCAL density are systematically larger than full-map kNN
+    radii (the estimator is nonlinear in the partition) — rejected
+    loudly below.
     """
     H, W = scene.height, scene.width
     n_dev = mesh.devices.size
     assert H % n_dev == 0 and n_photons % n_dev == 0
+    if volume == "bre" and getattr(cfg, "bre_knn", 0):
+        raise ValueError(
+            "render_pass_sharded_ring: bre_knn radii are computed from "
+            "the local photon partition and would be biased; use "
+            "render_pass_sharded (all-gather) or bre_knn=0")
 
     def body(scene_rep, seed_, it_, surf_s, vol_s, r_vol):
         me = lax.axis_index(AXIS)
         k_light = rng.pass_key(seed_[0], it_[0], rng.STREAM_LIGHT)
-        k_light = jax.random.fold_in(k_light, me)
         photons, beams = sppm.shoot_photons(
-            scene_rep, cfg, n_photons // n_dev, k_light)
+            scene_rep, cfg, n_photons // n_dev, k_light,
+            path_offset=me * (n_photons // n_dev))
         rows = H // n_dev
         y0 = me * rows
         py, px = jnp.mgrid[0:rows, 0:W]
         px = px.reshape(-1).astype(jnp.float32)
         py = (py + y0).reshape(-1).astype(jnp.float32)
-        k_cam = jax.random.fold_in(
-            rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA), me)
-        k_gather = jax.random.fold_in(
-            rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER), me)
+        k_cam = rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA)
+        k_gather = rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER)
         perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
         def step(carry, _):
@@ -193,9 +203,9 @@ def gvpm_render_pass_sharded(mesh, scene: Scene, cfg, volume, n_photons,
     def body(scene_rep, seed_, it_, surf_s, vol_s, r_vol):
         me = lax.axis_index(AXIS)
         k_light = rng.pass_key(seed_[0], it_[0], rng.STREAM_LIGHT)
-        k_light = jax.random.fold_in(k_light, me)
         photons, beams = sppm.shoot_photons(
-            scene_rep, cfg, n_photons // n_dev, k_light)
+            scene_rep, cfg, n_photons // n_dev, k_light,
+            path_offset=me * (n_photons // n_dev))
         photons = jax.tree_util.tree_map(
             lambda a: lax.all_gather(a, AXIS, tiled=True), photons)
         beams = jax.tree_util.tree_map(
@@ -209,33 +219,124 @@ def gvpm_render_pass_sharded(mesh, scene: Scene, cfg, volume, n_photons,
         yi = py.astype(jnp.int32)
         border = jnp.stack([xi == W - 1, xi == 0,
                             yi == H - 1, yi == 0])
-        k_cam = jax.random.fold_in(
-            rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA), me)
-        k_gather = jax.random.fold_in(
-            rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER), me)
+        k_cam = rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA)
+        k_gather = rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER)
         p_s, S_s, W_s, stats = gvpm.pass_buffers(
             scene_rep, cfg, volume, n_photons, photons, beams, k_cam,
             k_gather, px, py, border, surf_s[0], vol_s[0], r_vol[0])
-        visits = lax.psum(stats["visits"], AXIS)
-        shift_ok = lax.psum(stats["shift_ok"], AXIS)
+        st = jnp.stack([stats["visits"], stats["shift_ok"],
+                        stats.get("win_dropped", 0),
+                        stats.get("k_overflow", 0)])
+        st = lax.psum(st, AXIS)
         return (p_s.reshape(rows, W, 3),
                 S_s.reshape(4, rows, W, 3),
                 W_s.reshape(4, rows, W, 3),
-                visits[None], shift_ok[None])
+                st[None])
 
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(), P(), P(), P(), P(), P()),
                    out_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
-                              P(AXIS), P(AXIS)),
+                              P(AXIS)),
                    check_rep=False)
     args = (jnp.asarray([seed]), jnp.asarray([it]),
             jnp.asarray([surf_scale]), jnp.asarray([vol_scale]),
             jnp.asarray([r_vol_base]))
-    p, S, Wb, visits, shift_ok = jax.jit(fn)(scene, *args)
+    p, S, Wb, st = jax.jit(fn)(scene, *args)
     primal, gx, gy = gvpm.assemble_gradients(
         p.reshape(-1, 3), S.reshape(4, -1, 3), Wb.reshape(4, -1, 3),
         H, W)
-    return primal, gx, gy, dict(visits=visits[0], shift_ok=shift_ok[0])
+    return primal, gx, gy, dict(visits=st[0, 0], shift_ok=st[0, 1],
+                                win_dropped=st[0, 2],
+                                k_overflow=st[0, 3])
+
+
+def gvpm_render_pass_sharded_ring(mesh, scene: Scene, cfg, volume,
+                                  n_photons, seed, it, surf_scale,
+                                  vol_scale, r_vol_base):
+    """Ring-pass variant of gvpm_render_pass_sharded: the GRADIENT pass
+    with photon partitions rotated around the ring instead of
+    all-gathered (render_pass_sharded_ring's memory model applied to
+    the 5-way shift gather; SURVEY §2.8 — a paper-scale gradient map
+    that exceeds one chip's HBM has no all-gather path).
+
+    Linear-in-photons terms (surface/volume gathers, S/W shift buffers)
+    telescope over the n_dev steps exactly; the photon-independent
+    direct-emission term is scaled by 1/n_dev per step
+    (gvpm.pass_buffers emission_scale). Camera paths are retraced per
+    step — redundant compute traded for 1/n_dev photon memory.
+
+    Two partition-dependent compensations are NOT linear: window-clip
+    rescaling (total/cov from the resident partition's ranges) and
+    cull-K overflow (cnt/K). Size gather_window / cull_k so they stay
+    inactive (both are counted: win_dropped / k_overflow stats).
+    """
+    from ..integrators import gvpm
+    H, W = scene.height, scene.width
+    n_dev = mesh.devices.size
+    assert H % n_dev == 0 and n_photons % n_dev == 0
+
+    def body(scene_rep, seed_, it_, surf_s, vol_s, r_vol):
+        me = lax.axis_index(AXIS)
+        k_light = rng.pass_key(seed_[0], it_[0], rng.STREAM_LIGHT)
+        photons, beams = sppm.shoot_photons(
+            scene_rep, cfg, n_photons // n_dev, k_light,
+            path_offset=me * (n_photons // n_dev))
+        rows = H // n_dev
+        y0 = me * rows
+        py, px = jnp.mgrid[0:rows, 0:W]
+        px = px.reshape(-1).astype(jnp.float32)
+        py = (py + y0).reshape(-1).astype(jnp.float32)
+        xi = px.astype(jnp.int32)
+        yi = py.astype(jnp.int32)
+        border = jnp.stack([xi == W - 1, xi == 0,
+                            yi == H - 1, yi == 0])
+        k_cam = rng.pass_key(seed_[0], it_[0], rng.STREAM_CAMERA)
+        k_gather = rng.pass_key(seed_[0], it_[0], rng.STREAM_GATHER)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def step(carry, _):
+            acc_p, acc_S, acc_W, acc_st, photons, beams = carry
+            p_s, S_s, W_s, stats = gvpm.pass_buffers(
+                scene_rep, cfg, volume, n_photons, photons, beams,
+                k_cam, k_gather, px, py, border, surf_s[0], vol_s[0],
+                r_vol[0], emission_scale=1.0 / n_dev)
+            st = jnp.stack([stats["visits"], stats["shift_ok"],
+                            stats.get("win_dropped", 0),
+                            stats.get("k_overflow", 0)])
+            photons = jax.tree_util.tree_map(
+                lambda a: lax.ppermute(a, AXIS, perm), photons)
+            beams = jax.tree_util.tree_map(
+                lambda a: lax.ppermute(a, AXIS, perm), beams)
+            return (acc_p + p_s, acc_S + S_s, acc_W + W_s,
+                    acc_st + st, photons, beams), None
+
+        n_pix = rows * W
+        init = (jnp.zeros((n_pix, 3)), jnp.zeros((4, n_pix, 3)),
+                jnp.zeros((4, n_pix, 3)), jnp.zeros((4,), jnp.int32),
+                photons, beams)
+        (p_s, S_s, W_s, st, _, _), _ = lax.scan(step, init, None,
+                                                length=n_dev)
+        st = lax.psum(st, AXIS)
+        return (p_s.reshape(rows, W, 3),
+                S_s.reshape(4, rows, W, 3),
+                W_s.reshape(4, rows, W, 3),
+                st[None])
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), P()),
+                   out_specs=(P(AXIS), P(None, AXIS), P(None, AXIS),
+                              P(AXIS)),
+                   check_rep=False)
+    args = (jnp.asarray([seed]), jnp.asarray([it]),
+            jnp.asarray([surf_scale]), jnp.asarray([vol_scale]),
+            jnp.asarray([r_vol_base]))
+    p, S, Wb, st = jax.jit(fn)(scene, *args)
+    primal, gx, gy = gvpm.assemble_gradients(
+        p.reshape(-1, 3), S.reshape(4, -1, 3), Wb.reshape(4, -1, 3),
+        H, W)
+    return primal, gx, gy, dict(visits=st[0, 0], shift_ok=st[0, 1],
+                                win_dropped=st[0, 2],
+                                k_overflow=st[0, 3])
 
 
 def gvpm_render(mesh, scene: Scene, cfg, volume="distance", seed=0,

@@ -341,20 +341,31 @@ def sample_direct(scene: Scene, p_from, u3) -> DirectSample:
 # photon emission (all emitter kinds)
 
 
-def sample_photon(scene: Scene, key, n):
+def sample_photon(scene: Scene, key, n, lanes=None):
     """Sample n photon-emission rays across ALL emitter groups by power.
 
     Returns a dict with: p, d, alpha (power/pdf), med, valid, plus the
     shift caches the particle tracer stores for first-bounce photons
     (ns/scatter/pdf_dir meaningful only for area lights; reconnectable is
     False for delta/env parents — conservative unilateral shifts, the
-    reference's area-only restriction, gvpm.cpp:148-158)."""
+    reference's area-only restriction, gvpm.cpp:148-158).
+
+    lanes [n] (optional): global path ids — randoms become functions of
+    (key, lane id) so sharded shooters draw the identical photon set at
+    any device count (rng.lane_uniform)."""
+    from ..core import rng as _rng
     k_pick, k_pos, k_dir, k_disk = jax.random.split(key, 4)
-    u3 = jax.random.uniform(k_pos, (n, 3))
-    u2 = jax.random.uniform(k_dir, (n, 2))
-    u_disk = jax.random.uniform(k_disk, (n, 2))
+    if lanes is None:
+        u3 = jax.random.uniform(k_pos, (n, 3))
+        u2 = jax.random.uniform(k_dir, (n, 2))
+        u_disk = jax.random.uniform(k_disk, (n, 2))
+        u_pick = jax.random.uniform(k_pick, (n,))
+    else:
+        u3 = _rng.lane_uniform(k_pos, lanes, (3,))
+        u2 = _rng.lane_uniform(k_dir, lanes, (2,))
+        u_disk = _rng.lane_uniform(k_disk, lanes, (2,))
+        u_pick = _rng.lane_uniform(k_pick, lanes)
     gp = scene.light_group_p
-    u_pick = jax.random.uniform(k_pick, (n,))
     grp = jnp.where(u_pick < gp[0], 0,
                     jnp.where(u_pick < gp[0] + gp[1], 1, 2))
     wc, wr = world_center_radius(scene)
