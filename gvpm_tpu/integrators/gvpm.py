@@ -428,6 +428,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     shift_ok = jnp.sum(so_s)
     win_dropped = dr_s[0]
     k_overflow = dr_s[1]
+    me_dropped = dr_s[2]
 
     # ---- volume (VPM distance | BRE) ----
     if volume in ("distance", "bre"):
@@ -476,7 +477,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 me_budget=cfg.me_pair_budget,
                 pv_chain=photons)
         else:
-            dr_v = jnp.zeros((2,), jnp.int32)
+            dr_v = jnp.zeros((3,), jnp.int32)
             p_v, S_v, W_v, v_v, so_v = gradient_gather.bre_gather(
                 scene, cb, scb_list, grid_v, packed_v, n_photons,
                 r_vol, border_lane,
@@ -487,6 +488,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         shift_ok = shift_ok + jnp.sum(so_v)
         win_dropped = win_dropped + dr_v[0]
         k_overflow = k_overflow + dr_v[1]
+        me_dropped = me_dropped + dr_v[2]
         # splat per-segment results back to pixel lanes
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -512,12 +514,15 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         lane = lane_full[order]
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
-        p_v, S_v, W_v, v_v, so_v = gradient_gather.segment_chunked(
+        p_v, S_v, W_v, v_v, so_v, md_v = gradient_gather.segment_chunked(
             gradient_gather.beam_gradient_gather, scene, cb, scb_list,
             border_lane, cfg.beam_seg_tile, lb=beams,
-            n_emitted=n_photons, r_beam=r_b, tile=cfg.beam_tile)
+            n_emitted=n_photons, r_beam=r_b, tile=cfg.beam_tile,
+            use_manifold=cfg.use_manifold,
+            me_budget=cfg.me_pair_budget, pv_chain=photons)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
+        me_dropped = me_dropped + md_v
 
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -543,13 +548,16 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         lane = lane_full[order]
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
-        p_v, S_v, W_v, v_v, so_v = gradient_gather.segment_chunked(
+        p_v, S_v, W_v, v_v, so_v, md_v = gradient_gather.segment_chunked(
             gradient_gather.beam3d_gradient_gather, scene, cb, scb_list,
             border_lane, cfg.beam_seg_tile, key=k_gather, lb=beams,
             n_emitted=n_photons, r_beam=r_b,
-            n_samples=cfg.volume_samples, tile=cfg.beam_tile)
+            n_samples=cfg.volume_samples, tile=cfg.beam_tile,
+            use_manifold=cfg.use_manifold,
+            me_budget=cfg.me_pair_budget, pv_chain=photons)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
+        me_dropped = me_dropped + md_v
 
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -575,12 +583,13 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
 
         planes = estimators.make_planes(scene, beams, k_gather)
-        p_v, S_v, W_v, v_v, so_v = gradient_gather.segment_chunked(
+        p_v, S_v, W_v, v_v, so_v, md_v = gradient_gather.segment_chunked(
             gradient_gather.plane_gradient_gather, scene, cb, scb_list,
             border_lane, cfg.beam_seg_tile, planes=planes,
             n_emitted=n_photons, tile=cfg.beam_tile)
         visits = visits + jnp.sum(v_v)
         shift_ok = shift_ok + jnp.sum(so_v)
+        me_dropped = me_dropped + md_v
 
         def to_px(a):
             out = jnp.zeros((n, 3))
@@ -602,7 +611,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
 
     return p_s, S_s, W_s, dict(visits=visits, shift_ok=shift_ok,
                                win_dropped=win_dropped,
-                               k_overflow=k_overflow)
+                               k_overflow=k_overflow,
+                               me_dropped=me_dropped)
 
 
 def _reject_heterogeneous(scene: Scene):
@@ -696,6 +706,8 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         or StatsCounter("gvpm/window_dropped_rows", "value")
     c_kover = StatsCounter.REGISTRY.get("gvpm/cull_k_overflow") \
         or StatsCounter("gvpm/cull_k_overflow", "value")
+    c_medrop = StatsCounter.REGISTRY.get("gvpm/me_dropped_pairs") \
+        or StatsCounter("gvpm/me_dropped_pairs", "value")
 
     for it in range(it0, n_passes):
         p, gx, gy, stats = render_pass(scene, cfg, volume, n_photons,
@@ -707,6 +719,7 @@ def render(scene: Scene, cfg: GradientConfig = GradientConfig(),
         c_shift.add(int(stats["shift_ok"]), max(4 * v, 1))
         c_drop.add(int(stats.get("win_dropped", 0)))
         c_kover.add(int(stats.get("k_overflow", 0)))
+        c_medrop.add(int(stats.get("me_dropped", 0)))
         ratio = sppm.radius_ratio(it, cfg.alpha)
         surf_scale *= ratio ** 0.5
         if dim > 0:

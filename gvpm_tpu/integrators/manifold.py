@@ -62,10 +62,17 @@ MAX_DEV = 0.35     # max total direction-parameter deviation: near
 # chain extraction
 # --------------------------------------------------------------------------
 
-def pull_chains(scene: Scene, pv, idx):
+def pull_chains(scene: Scene, pv, idx=None, virt=None):
     """Walk parent_idx from each photon up to K_MAX specular parents.
 
     pv: flattened LightVertices dict; idx: [L] photon indices.
+    virt (optional): dict of [L] arrays replacing the START vertex's
+    record for lanes that have no stored record — a VIRTUAL photon.
+    Keys: p (position), seg_med, parent_idx, reconnectable,
+    parent_type, parent_bsdf. Used by the beam ME shift, where the
+    virtual photon is the chord point y on the beam and its parent is
+    the beam's origin vertex (shiftBeamME analog,
+    shift_volume_beams.cpp:748).
     Returns a dict of arrays with leading dim L:
       ok          — photon admits an ME shift (pure-delta chain of length
                     1..K_MAX ending at a reconnectable anchor)
@@ -83,21 +90,30 @@ def pull_chains(scene: Scene, pv, idx):
       w1_base     — base outgoing direction at the anchor [L,3]
       t_last      — base length of the final segment (sk -> photon) [L]
     """
-    L = idx.shape[0]
+    L = virt["p"].shape[0] if virt is not None else idx.shape[0]
 
     def vfield(name, j):
         return pv[name][jnp.clip(j, 0, pv[name].shape[0] - 1)]
 
-    # walk up: cur starts at the photon
-    cur = idx
+    def startf(name):
+        return virt[name] if virt is not None else vfield(name, idx)
+
+    # walk up: cur starts at the (possibly virtual) photon
+    cur = idx if virt is None else jnp.zeros((L,), jnp.int32)
     chain_idx = []          # photon-to-anchor order while walking
     alive = jnp.ones((L,), bool)
     done = jnp.zeros((L,), bool)   # reached a reconnectable vertex
-    for _ in range(K_MAX):
-        par = vfield("parent_idx", cur)
-        rec = vfield("reconnectable", cur)
-        ptype = vfield("parent_type", cur)
-        pbsdf = vfield("parent_bsdf", cur)
+    for _step in range(K_MAX):
+        if _step == 0:
+            par = startf("parent_idx")
+            rec = startf("reconnectable")
+            ptype = startf("parent_type")
+            pbsdf = startf("parent_bsdf")
+        else:
+            par = vfield("parent_idx", cur)
+            rec = vfield("reconnectable", cur)
+            ptype = vfield("parent_type", cur)
+            pbsdf = vfield("parent_bsdf", cur)
         bty = scene.bsdf_type[jnp.clip(pbsdf, 0,
                                        scene.bsdf_type.shape[0] - 1)]
         is_delta = (bty == BSDF_CONDUCTOR) | (bty == BSDF_DIELECTRIC)
@@ -122,8 +138,8 @@ def pull_chains(scene: Scene, pv, idx):
     # re-walk to store anchor-to-photon ordered slots
     # slots[j] = chain vertex j (s_{j+1}); photon itself is the end point
     slots = jnp.full((K_MAX, L), -1, jnp.int32)
-    cur = idx
-    walked = [idx]
+    cur = idx if virt is None else jnp.zeros((L,), jnp.int32)
+    walked = [cur]
     for j, (ci, sok) in enumerate(chain_idx):
         cur = jnp.where(ci >= 0, ci, cur)
         walked.append(cur)
@@ -153,7 +169,7 @@ def pull_chains(scene: Scene, pv, idx):
                                          pv["p"].shape[0] - 1)]
                        for j in range(K_MAX)])
     # outgoing dir at slot j: toward slot j+1 (or the photon for j=k-1)
-    photon_p = pv["p"][idx]
+    photon_p = virt["p"] if virt is not None else pv["p"][idx]
     nxt = jnp.concatenate([pos[1:], photon_p[None]], axis=0)
     is_last = jnp.arange(K_MAX)[:, None] == (k - 1)[None, :]
     nxt = jnp.where(is_last[..., None], photon_p[None], nxt)
@@ -169,9 +185,11 @@ def pull_chains(scene: Scene, pv, idx):
     is_diel = scene.bsdf_type[bc] == BSDF_DIELECTRIC
     eta = scene.bsdf_eta[bc]
 
+    seg_med_last = (virt["seg_med"] if virt is not None
+                    else pv["seg_med"][idx])
     seg_med = jnp.stack(
         [vfield("seg_med", jnp.clip(slots[j], 0, 10 ** 9))
-         for j in range(K_MAX)] + [pv["seg_med"][idx]])
+         for j in range(K_MAX)] + [seg_med_last])
     seg_med = jnp.where(
         jnp.concatenate([slots >= 0,
                          jnp.ones((1, L), bool)]), seg_med, -1)
@@ -434,6 +452,115 @@ def me_shift_volume(scene: Scene, ch, c_target, n_iters=5,
           & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
     return (jnp.where(ok[..., None], alpha_ratio, 0.0),
             jnp.where(ok, pdf_ratio, 0.0), ok, wi_new)
+
+
+def me_shift_beam(scene: Scene, ch, y_target, n_iters=5,
+                  scene_scale=1.0):
+    """ME shift of a BEAM pair (reference shiftBeamME,
+    shift_volume_beams.h:440 / shift_volume_beams.cpp:748).
+
+    ch: chain dict from pull_chains(..., virt=...) where the virtual
+    photon is the BASE chord/intersection point y on the beam and the
+    final chain vertex is the beam's (delta) origin vertex A. The walk
+    solves the chain so the new beam passes exactly through y_target.
+
+    Unlike me_shift_volume, the FINAL segment (A' -> y') is the beam
+    itself: its transmittance / kernel / survival terms are re-
+    evaluated by the beam estimator on the returned geometry, so the
+    ratios here cover only the anchor scatter, chain Fresnel, CHAIN
+    transmittances and the manifold measure.
+
+    Returns (origin_new [L,3], dir_new [L,3], t_new [L],
+    alpha_ratio [L,3], pdf_ratio [L], ok [L]).
+    """
+    s_ax, t_ax = coordinate_system(ch["w1_base"])
+
+    def solve_one(chl, sa, ta, ct):
+        def c_of(u):
+            w1 = chl["w1_base"] + u[0] * sa + u[1] * ta
+            w1 = w1 / jnp.maximum(jnp.linalg.norm(w1), 1e-12)
+            ep, ed, ok, F, ci, ln = _retrace(scene, chl, w1)
+            return ep + ed * u[2], (ep, ed, ok, F, ci, ln, w1)
+
+        def resid(u):
+            return c_of(u)[0] - ct
+
+        u = jnp.array([0.0, 0.0, chl["t_last"]])
+        Jfn = jax.jacfwd(resid)
+
+        def newton(u, _):
+            r = resid(u)
+            J = Jfn(u)
+            det = jnp.linalg.det(J)
+            Jinv = jnp.linalg.inv(
+                jnp.where(jnp.abs(det) > 1e-18, J, jnp.eye(3)))
+            du = Jinv @ r
+            dn = jnp.sqrt(du[0] ** 2 + du[1] ** 2)
+            lim = jnp.minimum(1.0, MAX_STEP / jnp.maximum(dn, 1e-12))
+            du = du * jnp.array([lim, lim, 1.0])
+            return jnp.where(jnp.abs(det) > 1e-18, u - du, u), None
+
+        u, _ = jax.lax.scan(newton, u, None, length=n_iters)
+        c_fin, (ep, ed, ok_tr, F, ci, ln, w1) = c_of(u)
+        r = jnp.linalg.norm(c_fin - ct)
+        conv = (r < NEWTON_EPS * scene_scale) \
+            & (jnp.sqrt(u[0] ** 2 + u[1] ** 2) < MAX_DEV)
+        J_off = Jfn(u)
+        J_base = Jfn(jnp.array([0.0, 0.0, chl["t_last"]]))
+        s_off = (1.0 + u[0] ** 2 + u[1] ** 2) ** -1.5
+        rho_off = jnp.abs(jnp.linalg.det(J_off)) / jnp.maximum(s_off,
+                                                               1e-12)
+        rho_base = jnp.abs(jnp.linalg.det(J_base))
+        return (u, w1, conv & ok_tr, F, ln, rho_off, rho_base,
+                u[2], ep, ed)
+
+    (u, w1_new, conv, F_off, len_off, rho_off, rho_base, t_off,
+     org_new, dir_new) = jax.vmap(solve_one, in_axes=(0, 0, 0, 0))(
+        _lanes(ch), s_ax, t_ax, y_target)
+    F_off, len_off = F_off.T, len_off.T
+
+    _, _, ok_b, F_base, _, len_base = jax.vmap(
+        lambda chl: _retrace(scene, chl, chl["w1_base"]))(_lanes(ch))
+    F_base, len_base = F_base.T, len_base.T
+
+    sc_new, pdf_new, ok_an = shift.parent_scatter(
+        scene, ch["anchor_type"], ch["anchor_wi"], ch["anchor_ns"],
+        ch["anchor_bsdf"], ch["anchor_med"], w1_new)
+    sc_ratio = sc_new / jnp.maximum(ch["sc_base"], 1e-20)
+    pdf_dir_ratio = pdf_new / jnp.maximum(ch["pdf_dir_base"], 1e-20)
+
+    live = jnp.arange(K_MAX)[:, None] < ch["k"][None]
+    refl = ch["branch_refl"]
+    f_vert_base = jnp.where(refl, F_base, 1.0 - F_base)
+    f_vert_off = jnp.where(refl, F_off, 1.0 - F_off)
+    fr = jnp.where(live, f_vert_off / jnp.maximum(f_vert_base, 1e-12),
+                   1.0)
+    f_chain_ratio = jnp.prod(fr, axis=0)
+    pdf_chain_ratio = jnp.prod(
+        jnp.where(live & ch["is_diel"],
+                  f_vert_off / jnp.maximum(f_vert_base, 1e-12), 1.0),
+        axis=0)
+
+    # chain-segment transmittance ratios ONLY (final segment belongs to
+    # the beam estimator)
+    dlen = len_off - len_base                          # [K, L]
+    st = jax.vmap(lambda m: _sigma_t(scene, m))(
+        ch["seg_med"][:K_MAX].T)                       # [L, K, 3]
+    tr_ratio = jnp.exp(-jnp.sum(st * dlen.T[..., None], axis=1))
+
+    rho_ratio = rho_base / jnp.maximum(rho_off, 1e-20)
+    alpha_ratio = sc_ratio * f_chain_ratio[..., None] * tr_ratio \
+        * rho_ratio[..., None]
+    pdf_ratio = pdf_dir_ratio * pdf_chain_ratio * rho_ratio
+    t2 = jnp.maximum(t_off, 1e-3) ** 2
+    t2b = jnp.maximum(ch["t_last"], 1e-3) ** 2
+    ok = (ch["ok"] & conv & ok_b & ok_an
+          & (ch["pdf_dir_base"] > 1e-20) & (pdf_new > 0.0)
+          & (t_off > 1e-5)
+          & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
+    return (org_new, dir_new, t_off,
+            jnp.where(ok[..., None], alpha_ratio, 0.0),
+            jnp.where(ok, pdf_ratio, 0.0), ok)
 
 
 def _sigma_t(scene: Scene, med_idx):

@@ -115,6 +115,9 @@ class LightBeams:
     reconnectable: jnp.ndarray  # [S,P] bool: origin lobe admits a
     #   direction re-sample AND the segment starts at the vertex itself
     #   (false after a null-boundary crossing, where o != parent_p)
+    parent_idx: jnp.ndarray    # [S,P] int32 flat index of the origin
+    #   vertex's own record (-1 = emitter) — ME chain walks start here
+    at_origin: jnp.ndarray     # [S,P] bool: segment leaves the vertex
 
 
 def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key,
@@ -195,7 +198,13 @@ def shoot(scene: Scene, cfg: PhotonConfig, n_paths: int, key,
                     scatter_base=state["pp_scatter"],
                     pdf_dir_base=state["pp_pdf_dir"],
                     reconnectable=state["pp_reconn"]
-                    & state["pp_at_origin"])
+                    & state["pp_at_origin"],
+                    # ME shift provenance (shiftBeamME analog): the
+                    # origin vertex's own record index + whether the
+                    # segment leaves the vertex itself (chain geometry
+                    # is meaningless after a null crossing)
+                    parent_idx=state["pp_idx"],
+                    at_origin=state["pp_at_origin"])
 
         # --- vertex record ---
         alpha_in_med = alpha * ms.transmittance / jnp.maximum(

@@ -69,7 +69,8 @@ def shoot_photons(scene: Scene, cfg: PhotonConfig, n_photons, key,
                  parent_bsdf=lb.parent_bsdf, parent_med=lb.parent_med,
                  scatter_base=lb.scatter_base,
                  pdf_dir_base=lb.pdf_dir_base,
-                 reconnectable=lb.reconnectable)
+                 reconnectable=lb.reconnectable,
+                 parent_idx=lb.parent_idx, at_origin=lb.at_origin)
     return photons, beams
 
 

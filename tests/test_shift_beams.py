@@ -46,7 +46,7 @@ def _setup(seed=7):
 
 def test_beam1d_zero_shift_identity():
     scene, cb, beams, border, r_vol, _ = _setup()
-    p, S, W, visits, shok = gradient_gather.beam_gradient_gather(
+    p, S, W, visits, shok, _ = gradient_gather.beam_gradient_gather(
         scene, cb, [cb] * 4, beams, 2048, r_vol, border)
     p, S, W = map(np.asarray, (p, S, W))
     assert np.isfinite(p).all() and p.sum() > 0
@@ -61,7 +61,7 @@ def test_beam1d_zero_shift_identity():
 
 def test_beam3d_zero_shift_identity():
     scene, cb, beams, border, r_vol, k_g = _setup()
-    p, S, W, visits, shok = gradient_gather.beam3d_gradient_gather(
+    p, S, W, visits, shok, _ = gradient_gather.beam3d_gradient_gather(
         scene, cb, [cb] * 4, beams, 2048, r_vol, k_g, border,
         n_samples=1)
     p, S, W = map(np.asarray, (p, S, W))
@@ -75,7 +75,7 @@ def test_plane0d_zero_shift_identity():
     from gvpm_tpu.integrators import estimators
     scene, cb, beams, border, r_vol, k_g = _setup()
     planes = estimators.make_planes(scene, beams, k_g)
-    p, S, W, visits, shok = gradient_gather.plane_gradient_gather(
+    p, S, W, visits, shok, _ = gradient_gather.plane_gradient_gather(
         scene, cb, [cb] * 4, planes, 2048, border)
     p, S, W = map(np.asarray, (p, S, W))
     assert np.isfinite(p).all() and p.sum() > 0

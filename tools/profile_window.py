@@ -95,7 +95,11 @@ def main():
     print("valid volume queries:", int(jnp.sum(cb["valid"])), "of",
           budget, flush=True)
 
-    for (qt, w) in ((64, 256), (128, 384), (256, 768), (32, 192)):
+    sweeps = (("cull", 256, 2048, 32), ("cull", 128, 1024, 32),
+              ("cull", 256, 1024, 32), ("cull", 256, 4096, 32),
+              ("cull", 256, 2048, 16),
+              ("window", 256, 768, 0), ("window", 128, 384, 0))
+    for (drv, qt, w, kk) in sweeps:
         def vg(cb, scb_list, grid_v, packed_v, border_lane):
             return gradient_gather.volume_gather(
                 scene, cb, scb_list, grid_v, packed_v, n_photons,
@@ -103,6 +107,7 @@ def main():
                 n_samples=cfg.volume_samples,
                 max_per_cell=cfg.grid_max_photons_per_cell,
                 window=w, window_q_tile=qt, min_depth=0,
+                driver=drv, k_budget=max(kk, 1),
                 use_manifold=False)
 
         f = jax.jit(vg)
@@ -114,9 +119,9 @@ def main():
             fence(out)
         dt = (time.perf_counter() - t0) / 2
         visits = int(jnp.sum(out[3]))
-        dropped = int(out[5])
-        print(f"qt={qt:4d} W={w:4d}: {dt:7.3f}s  visits={visits}"
-              f"  dropped={dropped}", flush=True)
+        dr = [int(v) for v in out[5]]
+        print(f"{drv:6s} qt={qt:4d} W={w:4d} K={kk:3d}: {dt:7.3f}s  "
+              f"visits={visits}  dropped={dr}", flush=True)
 
     # legacy dense driver for comparison
     gridh, packedh = jax.jit(lambda ph: hashgrid.build_sorted(
