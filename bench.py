@@ -169,9 +169,12 @@ def main():
             initial_scale_volume=0.8,
             grid_max_photons_per_cell=32, gather_q_tile=2048,
             vol_segments_per_pixel=2,
-            grid_dims=(64, 64, 64), gather_window=4096,
-            window_q_tile=512, cull_k=32,
-            grid_surface_rows=1 << 20, grid_volume_rows=1 << 20)
+            grid_dims=(64, 64, 64), gather_window=2048,
+            window_q_tile=256, cull_k=32, gather_budget=96,
+            grid_surface_rows=1 << 20, grid_volume_rows=1 << 20,
+            # beam pair planes: [seg_tile, beam_tile] temps; 32768 blew
+            # past HBM with 2 chord samples in flight (worker crash)
+            beam_seg_tile=8192)
         beams = 1 << 14
     else:
         side, n_photons, passes = 64, 1 << 14, 2

@@ -213,13 +213,117 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
     return verts
 
 
+def _connect(scene: Scene, cv, le):
+    """Camera vertex cv x light endpoint le (module-level so G-BDPT can
+    re-run connection sweeps on SHIFTED camera vertices,
+    gbdpt_proc.cpp:606 analog).
+
+    le: dict with p, is_emitter, vtype, ns, bsdf, med, wi, alpha,
+    dvcm, dvc, valid. Returns the MIS-weighted contribution [N,3].
+    """
+    seg = le["p"] - cv["p"]
+    d2 = jnp.maximum(dot(seg, seg), 1e-12)
+    dist = jnp.sqrt(d2)
+    wl = seg / dist[..., None]
+
+    cv_val, cv_pdf, cv_pdf_rev = _scatter_eval(
+        scene, cv["vtype"], cv["bsdf"], cv["med"], cv["ns"],
+        cv["wi"], wl, "radiance")
+
+    # light endpoint value/pdfs toward the camera vertex
+    cos_le = jnp.maximum(dot(le["ns"], -wl), 0.0)
+    em_val = jnp.where((cos_le > 0)[..., None],
+                       le.get("radiance", jnp.zeros_like(le["alpha"])),
+                       0.0)
+    em_pdf = cos_le / jnp.pi
+    sc_val, sc_pdf, _ = _scatter_eval(
+        scene, le["vtype"], le["bsdf"], le["med"], le["ns"],
+        le["wi"], -wl, "importance")
+    # reverse pdf at the light vertex: resample its own incoming
+    # edge given arrival from the camera side
+    _, sc_pdf_rev, _ = _scatter_eval(
+        scene, le["vtype"], le["bsdf"], le["med"], le["ns"],
+        wl, -le["wi"], "importance")
+    is_em = le["is_emitter"]
+    le_val = jnp.where(is_em[..., None], em_val, sc_val)
+    le_pdf = jnp.where(is_em, em_pdf, sc_pdf)
+
+    cos_l = jnp.where(is_em | (le["vtype"] == VT_SURF),
+                      jnp.abs(dot(le["ns"], wl)), 1.0)
+    cos_c = _cos_at(cv["vtype"], cv["ns"], wl)
+    G = cos_l / d2  # camera-side cosine already in cv_val
+
+    p_start = cv["p"] + jnp.where(
+        (cv["vtype"] == VT_SURF)[..., None],
+        cv["ns"] * jnp.sign(dot(cv["ns"], wl, keepdims=True))
+        * RAY_EPS, 0.0)
+    tr = segment_transmittance(
+        scene, p_start, le["p"],
+        jnp.where(cv["vtype"] == VT_MED, cv["med"], cv["seg_med"]))
+
+    contrib = cv["alpha"] * cv_val * le["alpha"] * le_val * tr \
+        * G[..., None]
+
+    pdf_cam_to_l_area = cv_pdf * cos_l / d2
+    pdf_l_to_cam_area = le_pdf * cos_c / d2
+    w_light = jnp.where(
+        is_em,
+        pdf_cam_to_l_area * le["dvcm"],      # = pdfA/pdf_area (s=1)
+        pdf_cam_to_l_area * (le["dvcm"] + sc_pdf_rev * le["dvc"]))
+    w_cam = pdf_l_to_cam_area * (cv["dvcm"] + cv_pdf_rev * cv["dvc"])
+    w = 1.0 / (1.0 + w_light + w_cam)
+
+    ok = le["valid"] & (cv["vtype"] != VT_NONE) & ~cv["is_delta"] \
+        & (jnp.max(contrib, axis=-1) > 0) & (cos_l > 1e-6)
+    return jnp.where(ok[..., None], contrib * w[..., None], 0.0)
+
+
+def _select_depth(verts, kdep):
+    """Per-lane record of the kdep-th STORED vertex of a [S, N] subpath
+    (depth is unique per stored record; null crossings store nothing).
+    Adds 'exists' [N]."""
+    take = (verts["vtype"] != VT_NONE) & (verts["depth"] == kdep)
+
+    def pick(a):
+        w = take
+        while w.ndim < a.ndim:
+            w = w[..., None]
+        if a.dtype == jnp.bool_:
+            return jnp.any(w & a, axis=0)
+        return jnp.sum(jnp.where(w, a, 0), axis=0)
+
+    out = {f: pick(verts[f]) for f in verts}
+    out["exists"] = jnp.any(take, axis=0)
+    return out
+
+
 def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
     """Full BDPT estimate for pixel coords (px, py) with key k; [n,3].
 
     All randomness derives from k and the lane index only — evaluating
     this at offset pixel grids with the SAME k replays identical camera
-    and light subpath random sequences (the PSS identity shift G-BDPT
-    builds on, gbdpt.py)."""
+    and light subpath random sequences (the PSS fallback shift of
+    gbdpt.py)."""
+    return radiance_parts(scene, cfg, px, py, k)["L"]
+
+
+def radiance_parts(scene: Scene, cfg: VolPathConfig, px, py, k):
+    """BDPT estimate split into the buckets the G-BDPT path-space shift
+    needs (gbdpt_proc.cpp:606 createShiftedLightPath analog — here the
+    CAMERA subpath is shifted and the light subpath shared):
+
+      very_direct — s=0 at camera depth 1 (excluded from gradients,
+                    like gpt's -direct buffer)
+      t1   — connections whose camera vertex is v1 (re-evaluated at the
+             offset's own first vertex)
+      t2c  — connections whose camera vertex is v2 (re-evaluated with
+             the offset incoming direction after reconnection)
+      s0d2 — s=0 at depth 2 (offset ratio = reconnection ratio only)
+      rest — everything deeper (ratio = reconnection x at-v2 scatter)
+
+    plus v1/v2/v3 per-lane records (_select_depth), the light-subpath
+    records and the s=1 emitter endpoint, so gbdpt can run offset
+    connection sweeps without retracing."""
     n = px.shape[0]
     k_pix, k_cam, k_le, k_lw = jax.random.split(k, 4)
 
@@ -251,6 +355,21 @@ def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
                         n_steps)
 
     L = jnp.zeros((n, 3))
+    buckets = {kk: jnp.zeros((n, 3))
+               for kk in ("very_direct", "t1", "t2c", "s0d2", "rest")}
+
+    def bucket_of(depth_arr, c, s0=False):
+        """Route a contribution to its shift bucket by camera depth."""
+        d1 = (depth_arr == 1)[..., None]
+        d2 = (depth_arr == 2)[..., None]
+        if s0:
+            buckets["very_direct"] += jnp.where(d1, c, 0.0)
+            buckets["s0d2"] += jnp.where(d2, c, 0.0)
+            buckets["rest"] += jnp.where(~d1 & ~d2, c, 0.0)
+        else:
+            buckets["t1"] += jnp.where(d1, c, 0.0)
+            buckets["t2c"] += jnp.where(d2, c, 0.0)
+            buckets["rest"] += jnp.where(~d1 & ~d2, c, 0.0)
 
     # ---- s = 0: camera path hits an emitter ----
     # weight: 1 / (1 + directPdfA*dVCM + emissionPdfW*dVC)
@@ -264,71 +383,14 @@ def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
         w = 1.0 / (1.0 + vt["pdf_light_a"] * vt["dvcm"]
                    + em_pdf_w * vt["dvc"])
         w = jnp.where(tci == 0, 1.0, w)
-        L = L + jnp.where(hit_light[..., None],
-                          vt["alpha"] * vt["Le"] * w[..., None], 0.0)
+        c0 = jnp.where(hit_light[..., None],
+                       vt["alpha"] * vt["Le"] * w[..., None], 0.0)
+        L = L + c0
+        bucket_of(vt["depth"], c0, s0=True)
 
     # ---- connections: camera vertex (t) x light vertex (s) ----
     def connect(cv, le):
-        """Camera vertex cv x light endpoint le.
-
-        le: dict with p, is_emitter, vtype, ns, bsdf, med, wi, alpha,
-        dvcm, dvc, valid. Returns the MIS-weighted contribution [N,3].
-        """
-        seg = le["p"] - cv["p"]
-        d2 = jnp.maximum(dot(seg, seg), 1e-12)
-        dist = jnp.sqrt(d2)
-        wl = seg / dist[..., None]
-
-        cv_val, cv_pdf, cv_pdf_rev = _scatter_eval(
-            scene, cv["vtype"], cv["bsdf"], cv["med"], cv["ns"],
-            cv["wi"], wl, "radiance")
-
-        # light endpoint value/pdfs toward the camera vertex
-        if True:
-            cos_le = jnp.maximum(dot(le["ns"], -wl), 0.0)
-        em_val = jnp.where((cos_le > 0)[..., None],
-                           le.get("radiance", jnp.zeros((n, 3))), 0.0)
-        em_pdf = cos_le / jnp.pi
-        sc_val, sc_pdf, _ = _scatter_eval(
-            scene, le["vtype"], le["bsdf"], le["med"], le["ns"],
-            le["wi"], -wl, "importance")
-        # reverse pdf at the light vertex: resample its own incoming
-        # edge given arrival from the camera side
-        _, sc_pdf_rev, _ = _scatter_eval(
-            scene, le["vtype"], le["bsdf"], le["med"], le["ns"],
-            wl, -le["wi"], "importance")
-        is_em = le["is_emitter"]
-        le_val = jnp.where(is_em[..., None], em_val, sc_val)
-        le_pdf = jnp.where(is_em, em_pdf, sc_pdf)
-
-        cos_l = jnp.where(is_em | (le["vtype"] == VT_SURF),
-                          jnp.abs(dot(le["ns"], wl)), 1.0)
-        cos_c = _cos_at(cv["vtype"], cv["ns"], wl)
-        G = cos_l / d2  # camera-side cosine already in cv_val
-
-        p_start = cv["p"] + jnp.where(
-            (cv["vtype"] == VT_SURF)[..., None],
-            cv["ns"] * jnp.sign(dot(cv["ns"], wl, keepdims=True))
-            * RAY_EPS, 0.0)
-        tr = segment_transmittance(
-            scene, p_start, le["p"],
-            jnp.where(cv["vtype"] == VT_MED, cv["med"], cv["seg_med"]))
-
-        contrib = cv["alpha"] * cv_val * le["alpha"] * le_val * tr \
-            * G[..., None]
-
-        pdf_cam_to_l_area = cv_pdf * cos_l / d2
-        pdf_l_to_cam_area = le_pdf * cos_c / d2
-        w_light = jnp.where(
-            is_em,
-            pdf_cam_to_l_area * le["dvcm"],      # = pdfA/pdf_area (s=1)
-            pdf_cam_to_l_area * (le["dvcm"] + sc_pdf_rev * le["dvc"]))
-        w_cam = pdf_l_to_cam_area * (cv["dvcm"] + cv_pdf_rev * cv["dvc"])
-        w = 1.0 / (1.0 + w_light + w_cam)
-
-        ok = le["valid"] & (cv["vtype"] != VT_NONE) & ~cv["is_delta"] \
-            & (jnp.max(contrib, axis=-1) > 0) & (cos_l > 1e-6)
-        return jnp.where(ok[..., None], contrib * w[..., None], 0.0)
+        return _connect(scene, cv, le)
 
     # the s=1 endpoint: the emitter sample itself
     le_emitter = dict(
@@ -356,7 +418,9 @@ def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
         dep_ok = cv["depth"] + 1 <= cfg.max_depth + 1
         cve = dict(cv)
         cve["vtype"] = jnp.where(dep_ok, cv["vtype"], VT_NONE)
-        L = L + connect(cve, le_emitter)
+        c1 = connect(cve, le_emitter)
+        L = L + c1
+        bucket_of(cv["depth"], c1)
 
         for sli in range(n_steps):
             if max(1, tci + 1 - nb) + max(1, sli + 1 - nb) \
@@ -370,9 +434,13 @@ def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
                       dvcm=lv["dvcm"], dvc=lv["dvc"],
                       valid=(lv["vtype"] != VT_NONE) & ~lv["is_delta"]
                       & conn_ok)
-            L = L + connect(cv, le)
+            cc = connect(cv, le)
+            L = L + cc
+            bucket_of(cv["depth"], cc)
 
-    return L
+    return dict(L=L, cam=cam, lt=lt, es=es, le_emitter=le_emitter,
+                v1=_select_depth(cam, 1), v2=_select_depth(cam, 2),
+                v3=_select_depth(cam, 3), **buckets)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

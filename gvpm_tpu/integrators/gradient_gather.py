@@ -415,10 +415,11 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
     if isinstance(grid, cellgrid.CellGrid) and driver == "cull":
         def eval_cf(qi, idx, ok, scale):
             return eval_core(qi, RowView(packed[idx]), ok, scale, idx)
-        out, dropped, overflow = cellgrid.gather_window_culled(
+        out, dropped, overflow = cellgrid.gather_ranked_cull(
             grid, base.p, r_all * r_all, cellgrid.narrow_table(packed),
-            eval_cf, packed, q_tile=window_q_tile, window=window,
-            k_budget=k_budget, q_valid=base.valid)
+            eval_cf, packed, q_tile=window_q_tile,
+            budget=budget or max(64, 2 * k_budget),
+            k_budget=k_budget, q_valid=base.valid, stencil=27)
     elif isinstance(grid, cellgrid.CellGrid):
         def eval_win(qi, rows, row0, ok, scale):
             idx = row0 + jnp.broadcast_to(
@@ -627,10 +628,11 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             def eval_cf(qi, idx, ok, scale):
                 return eval_core(qi, RowView(packed[idx]), ok, scale,
                                  idx)
-            out, dropped, overflow = cellgrid.gather_window_culled(
+            out, dropped, overflow = cellgrid.gather_ranked_cull(
                 grid, x, r_vol * r_vol, narrow, eval_cf, packed,
-                q_tile=window_q_tile, window=window,
-                k_budget=k_budget, q_valid=sok)
+                q_tile=window_q_tile,
+                budget=budget or max(64, 2 * k_budget),
+                k_budget=k_budget, q_valid=sok, stencil=27)
         elif isinstance(grid, cellgrid.CellGrid):
             def eval_win(qi, rows, row0, ok, scale):
                 idx = row0 + jnp.broadcast_to(

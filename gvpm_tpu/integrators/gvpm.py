@@ -403,7 +403,10 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
-    cell = 2.0 * jnp.maximum(
+    # cull driver queries a 3x3x3 stencil (cell >= r: 2.4x fewer
+    # candidates per ball); the windowed drivers keep 2x2x2 at 2r
+    cmul = 1.0 if cfg.gather_driver == "cull" else 2.0
+    cell = cmul * jnp.maximum(
         jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
     packed = gradient_gather.pack_photons(
         scene, photons, valid=(photons["vtype"] != ptracer.VERT_NONE))
@@ -439,7 +442,7 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
             # needs the 27-stencil exact-cell mode
             grid_v, packed_v = cellgrid.build_cells(
                 pp, med_valid, scene.medium_lo, scene.medium_hi,
-                2.0 * r_vol, cfg.grid_dims, packed,
+                cmul * r_vol, cfg.grid_dims, packed,
                 max_rows=cfg.grid_volume_rows)
         else:
             grid_v, packed_v = hashgrid.build_sorted(

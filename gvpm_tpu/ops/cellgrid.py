@@ -207,151 +207,140 @@ def gather_window(grid: CellGrid, x, eval_fn, rows_table, q_tile=128,
 
 
 def narrow_table(rows_table):
-    """Photon POSITIONS in lane-BLOCKED [ceil(P/128), 384] layout for
-    the cull sweep: row r holds photons [128r, 128r+128) as three
-    128-lane groups (x | y | z). Rationale, both measured on-chip:
-    a [W, 3] slice of the row table streams full (8,128) lane tiles
-    (3 lanes pad to 128 — no saving over the 512 B packed row), and a
-    [3, W] transposed layout needs LANE-dimension dynamic slices
-    (~110 us each — cross-lane shifts). Blocked rows make the window a
-    SUBLANE-dim dynamic slice — the 483 M rows/s contiguous-window
-    primitive — at 12 B/photon of real traffic. Rows are padded with
-    +inf so padded lanes can never pass a ball test."""
-    P = rows_table.shape[0]
-    Pb = -(-P // 128)
-    cols = []
-    for c in range(3):
-        v = jnp.pad(rows_table[:, c], (0, Pb * 128 - P),
-                    constant_values=jnp.inf)
-        cols.append(v.reshape(Pb, 128))
-    return jnp.concatenate(cols, axis=1)
+    """Photon POSITIONS as a narrow [P, 8] row table (x, y, z, 0...).
+
+    The cull fetches candidate rows by INDEX (the per-index cost
+    dominates), and narrow 8-f32 rows fetch ~2x faster than the full
+    128-f32 packed rows (measured 186-233M vs 108M rows/s on-chip) —
+    so the ball test touches 1/16 the bytes and the full row is read
+    only for candidates that pass."""
+    return jnp.pad(rows_table[:, :3], ((0, 0), (0, 5)))
 
 
-def gather_window_culled(grid: CellGrid, x, r2q, narrow, eval_fn,
-                         rows_table, q_tile=256, window=2048,
-                         k_budget=32, q_valid=None):
-    """Two-phase windowed gather: NARROW-TABLE BALL CULL + compacted
-    eval — the round-4 hot path.
+def anchor_ids27(grid: CellGrid, x):
+    """Row-major id of a query's 3x3x3 stencil anchor (cell >= r)."""
+    Nx, Ny, Nz = grid.dims
+    g = (x - grid.origin) / grid.cell_size
+    a = jnp.floor(g).astype(jnp.int32) - 1
+    a = jnp.clip(a, 0, jnp.asarray([Nx - 3, Ny - 3, Nz - 3], jnp.int32))
+    return (a[..., 2] * Ny + a[..., 1]) * Nx + a[..., 0]
 
-    Phase 1 streams a [3, W] window of photon positions per stencil run
-    (narrow_table: 12 B/row vs the 512 B packed row) and ball-tests
-    every (query, row) pair; hits are rank-compacted per query into K
-    candidate slots via jnp.searchsorted over the per-row hit prefix
-    sums (pure vector code — no scatter). Phase 2 gathers ONLY the hit
-    rows' full 128-f32 packed rows and calls eval_fn ONCE per tile on
-    [Qt, K] planes, so the 5-way shift math runs on real kernel visits
-    instead of every streamed row. (The reference hot loop reads full
-    photon records only after the kd-tree ball test too,
-    shift_volume_photon.cpp:489-655 / gvpm_accel.h:269-312.)
+
+def gather_ranked_cull(grid: CellGrid, x, r2q, narrow, eval_fn,
+                       rows_table, q_tile=256, budget=64, k_budget=32,
+                       q_valid=None, stencil=27):
+    """RANK-ENUMERATED narrow cull + K-compacted eval — the round-4
+    gather driver.
+
+    Round-3's windowed drivers streamed [*, W] windows per tile; every
+    selection/keying op over the window paid ~0.7 ns/element on-chip,
+    so the cost scaled with W (measured 3.3s -> 14.9s for W 1024 ->
+    4096 at identical visit counts) and window clipping needed a
+    spatially-biased compensation (ADVICE r3). This driver never forms
+    a window: a query's 2x2x2 stencil is FOUR contiguous row runs of
+    the cell-major table; the run (start, count) ranges are prefix-
+    summed per query and candidate lane k in [0, B) rank-decodes to an
+    exact stored row (the hashgrid.gather_dense enumeration, applied to
+    runs instead of hash cells — reference analog: the kd-ball candidate
+    walk, gvpm_accel.h:269-312). Narrow [P, 8] position rows are
+    fetched for the B candidates, ball-tested, and the hits compacted
+    to K slots with one tiny top_k over [Qt, B]; only those K rows are
+    fetched at full 128-f32 width for the shift eval.
+
+    stencil=27 (cell >= r, 3x3x3, NINE 3-cell runs) is the default:
+    for the same kernel ball it enumerates 2.4x fewer candidate rows
+    than the 8-stencil (ball/stencil volume 4.19r^3/27r^3 = 15.5%% vs
+    6.5%% for 2x2x2 cells of 2r) — the candidate fetch is the per-index
+    -bound hot loop, so occupancy is throughput. stencil=8 matches the
+    windowed drivers' 2r grids.
+
+    When a query's stencil holds > B rows, a strided rank subsample
+    rank = k*T/B with scale T/B keeps the estimate unbiased in
+    expectation (bucket order is emission order); ball hits beyond K
+    keep first-K with cnt/K compensation. Both are counted.
 
     eval_fn(qi [Qt], idx [Qt,K], ok [Qt,K], scale [Qt,K]) -> pytree of
-    [Qt,...] arrays reduced over K — the hashgrid.gather_dense
-    contract; idx are absolute rows of rows_table. r2q: squared kernel
-    radius, scalar or [Q] (the cull test is strictly the ball test —
-    finer per-pair predicates stay in eval_fn and only zero
-    contributions, never candidates).
+    [Qt,...] arrays reduced over K (the hashgrid.gather_dense
+    contract). r2q: squared kernel radius, scalar or [Q].
 
-    Returns (pytree [Q,...] in original query order, dropped [] int32,
-    overflow [] int32): `dropped` counts range rows lost to window
-    clipping (covered-fraction compensated — approximate when photons
-    cluster, counted so the StatsCounter exposes it); `overflow` counts
-    ball HITS beyond the K budget (first-K kept with cnt/K
-    compensation — biased toward lower-id cells only when a query's
-    ball holds > K photons; size K to the kernel regime).
+    Returns (pytree [Q,...], dropped [] int32 — stencil rows beyond the
+    B-budget (scale-compensated), overflow [] int32 — ball hits beyond
+    the K budget (cnt/K-compensated)).
     """
     Q = x.shape[0]
     Nx, Ny, Nz = grid.dims
     P = rows_table.shape[0]
-    Pb = narrow.shape[0]                       # blocked rows of 128
-    Wb = max(1, min(-(-window // 128), Pb))
-    W = Wb * 128
-    K = k_budget
+    B, K = budget, k_budget
     BIG = jnp.int32(1 << 30)
     r2q = jnp.broadcast_to(jnp.asarray(r2q, jnp.float32), (Q,))
-    aid = anchor_ids(grid, x)
-    if q_valid is not None:
-        aid = jnp.where(q_valid, aid, Nx * Ny * Nz)
-    order = jnp.argsort(aid).astype(jnp.int32)
     n_tiles = -(-Q // q_tile)
     pad = n_tiles * q_tile - Q
-    qi_all = jnp.pad(order, (0, pad), constant_values=0)
+    x_all = jnp.pad(x, ((0, pad), (0, 0)))
+    r2_all = jnp.pad(r2q, (0, pad))
+    qi_all = jnp.pad(jnp.arange(Q, dtype=jnp.int32), (0, pad))
     vq_all = jnp.arange(n_tiles * q_tile) < Q
     if q_valid is not None:
-        vq_all = vq_all & jnp.pad(q_valid[order], (0, pad),
+        vq_all = vq_all & jnp.pad(q_valid, (0, pad),
                                   constant_values=False)
-    aid_all = jnp.pad(aid[order], (0, pad), constant_values=0)
-    x_all = jnp.pad(x[order], ((0, pad), (0, 0)))
-    r2_all = jnp.pad(r2q[order], (0, pad))
+    if stencil == 27:
+        offs = [(dy, dz) for dz in range(3) for dy in range(3)]
+        span, anchor_fn = 3, anchor_ids27
+    else:
+        offs = list(RUN_OFFSETS)
+        span, anchor_fn = 2, anchor_ids
+    n_runs = len(offs)
+    run_off = jnp.asarray([(dz * Ny + dy) * Nx for dy, dz in offs],
+                          jnp.int32)
 
     def tile(args):
-        qi, vq, a, xq, r2 = args
-        # hit-compaction via ONE top_k over the 4 runs' keyed hits —
-        # measured on-chip: top_k select adds ~nothing over the ball
-        # test, where a searchsorted rank-select cost 3.2 ms/tile and
-        # a scatter 4.2 ms/tile
-        keys4, scale4 = [], []
-        cnt = jnp.zeros((q_tile,), jnp.int32)
-        dropped = jnp.zeros((), jnp.int32)
-        j = jnp.arange(W, dtype=jnp.int32)[None, :]
-        for dy, dz in RUN_OFFSETS:
-            s = a + (dz * Ny + dy) * Nx
-            r0 = grid.bucket_start[s]
-            r1 = grid.bucket_start[s + 2]
-            lo_b = jnp.clip(jnp.min(jnp.where(vq, r0, P)) // 128, 0,
-                            Pb - Wb)
-            lo_w = lo_b * 128
-            sl = lax.dynamic_slice(narrow, (lo_b, 0), (Wb, 384))
-            nx = sl[:, :128].reshape(W)
-            ny = sl[:, 128:256].reshape(W)
-            nz = sl[:, 256:384].reshape(W)
-            absrow = lo_w + j                               # [1, W]
-            member = (absrow >= r0[:, None]) & (absrow < r1[:, None]) \
-                & vq[:, None]
-            dx = nx[None, :] - xq[:, 0:1]
-            dy_ = ny[None, :] - xq[:, 1:2]
-            dz_ = nz[None, :] - xq[:, 2:3]
-            d2 = dx * dx + dy_ * dy_ + dz_ * dz_
-            hit = member & (d2 < r2[:, None])
-            total = jnp.maximum(r1 - r0, 0)
-            cov = jnp.maximum(jnp.minimum(r1, lo_w + W)
-                              - jnp.maximum(r0, lo_w), 0)
-            clip_s = jnp.where(
-                (cov > 0) & (cov < total),
-                total.astype(jnp.float32)
-                / jnp.maximum(cov, 1).astype(jnp.float32), 1.0)
-            dropped = dropped + jnp.sum(jnp.where(vq, total - cov, 0))
-            keys4.append(jnp.where(hit, jnp.broadcast_to(absrow,
-                                                         hit.shape), BIG))
-            scale4.append(clip_s)
-            cnt = cnt + jnp.sum(hit, axis=1)
-        allk = jnp.concatenate(keys4, axis=1)               # [Qt, 4W]
-        neg, sel = lax.top_k(-allk, K)                      # K smallest
-        cand = -neg                                         # absrow | -BIG
-        cok = cand < BIG
-        cand = jnp.where(cok, cand, 0)
-        run_of = sel // W                                   # [Qt, K]
-        csc = jnp.take_along_axis(jnp.stack(scale4, axis=1),
-                                  run_of, axis=1)
-        csc = jnp.where(cok, csc, 1.0)
-        over = jnp.sum(jnp.maximum(cnt - K, 0))
+        qi, vq, xq, r2 = args
+        a = anchor_fn(grid, xq)                       # [Qt]
+        s = a[:, None] + run_off[None, :]             # [Qt, R]
+        r0 = grid.bucket_start[s]
+        r1 = grid.bucket_start[s + span]
+        counts = jnp.where(vq[:, None], jnp.maximum(r1 - r0, 0), 0)
+        off = jnp.cumsum(counts, axis=1)              # inclusive
+        T = off[:, -1]
+        ks = jnp.arange(B, dtype=jnp.int32)[None, :]
+        over = (T > B)[:, None]
+        rank = jnp.where(over, (ks * T[:, None]) // B, ks)
+        okc = (ks < jnp.minimum(T, B)[:, None]) & vq[:, None]
+        scale_b = jnp.where(over[:, 0],
+                            T.astype(jnp.float32) / B, 1.0)
+        j = jnp.zeros(rank.shape, jnp.int32)
+        for c in range(n_runs - 1):
+            j = j + (rank >= off[:, c][:, None])
+        row = (jnp.take_along_axis(r0, j, axis=1) + rank
+               - jnp.take_along_axis(off - counts, j, axis=1))
+        row = jnp.clip(row, 0, max(P - 1, 0))
+        nr = narrow[row]                              # [Qt, B, 8]
+        dx = nr[..., 0] - xq[:, 0:1]
+        dy = nr[..., 1] - xq[:, 1:2]
+        dz = nr[..., 2] - xq[:, 2:3]
+        d2 = dx * dx + dy * dy + dz * dz
+        hit = okc & (d2 < r2[:, None])
+        cnt = jnp.sum(hit, axis=1)
+        key = jnp.where(hit, ks, BIG)
+        neg, _ = lax.top_k(-key, K)                   # K smallest slots
+        slot = jnp.minimum(-neg, B - 1)
+        cok = -neg < BIG
+        idx = jnp.take_along_axis(row, slot, axis=1)
+        csc = jnp.where(cok, scale_b[:, None], 1.0)
         csc = csc * jnp.where(cnt > K,
                               cnt.astype(jnp.float32) / K, 1.0)[:, None]
-        res = dict(eval_fn(qi, cand, cok, csc))
+        dropped = jnp.sum(jnp.maximum(T - B, 0))
+        overflow = jnp.sum(jnp.maximum(cnt - K, 0))
+        res = dict(eval_fn(qi, idx, cok, csc))
         res_me = {k: res.pop(k) for k in list(res) if k.startswith("me_")}
-        return (res, res_me), (dropped, over)
+        return (res, res_me), (dropped, overflow)
 
     (out, me), (dropped, over) = jax.lax.map(
         tile, (qi_all.reshape(n_tiles, q_tile),
                vq_all.reshape(n_tiles, q_tile),
-               aid_all.reshape(n_tiles, q_tile),
                x_all.reshape(n_tiles, q_tile, 3),
                r2_all.reshape(n_tiles, q_tile)))
 
-    def unsort(a):
-        flat = a.reshape((-1,) + a.shape[2:])[:Q]
-        res = jnp.zeros_like(flat)
-        return res.at[order].set(flat)
-
-    out = jax.tree_util.tree_map(unsort, out)
+    out = jax.tree_util.tree_map(
+        lambda a2: a2.reshape((-1,) + a2.shape[2:])[:Q], out)
     out.update({k: v.reshape((-1,) + v.shape[2:]) for k, v in me.items()})
     return out, jnp.sum(dropped), jnp.sum(over)

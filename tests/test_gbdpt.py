@@ -25,3 +25,23 @@ def test_gbdpt_gradients_match_fd():
     fdy = primal[1:, :] - primal[:-1, :]
     corr = np.corrcoef(gy[:-1, :].ravel(), fdy.ravel())[0, 1]
     assert corr > 0.35, f"gy/fd correlation {corr:.3f}"
+
+
+def test_reconnect_beats_pss_variance():
+    """The path-space camera-subpath shift (createShiftedLightPath
+    analog) must cut per-sample gradient variance vs the PSS identity
+    replay — offset paths stay correlated with the base past the first
+    vertex (VERDICT r3 task 6)."""
+    scene = _box(12, 12)
+    cfg = VolPathConfig(spp=1, max_depth=4, null_bounces=2)
+    K = 8
+    gs, gp = [], []
+    for it in range(K):
+        _, gx, _ = gbdpt.render_pass(scene, cfg, 5, it)
+        gs.append(np.asarray(gx))
+        _, gx2, _ = gbdpt.render_pass(scene, cfg, 5, it, shift="pss")
+        gp.append(np.asarray(gx2))
+    v_rc = np.stack(gs).var(axis=0).mean()
+    v_pss = np.stack(gp).var(axis=0).mean()
+    assert np.isfinite(v_rc) and np.isfinite(v_pss)
+    assert v_rc < 0.9 * v_pss, (v_rc, v_pss)
