@@ -207,13 +207,27 @@ def main():
         cfg_me = GradientConfig(use_manifold=True, **base_kw)
         _try("distance_me", run_config, configs, scene, cfg_me,
              "distance", n_photons, r_vol, max(1, passes - 1))
-        kw_b = dict(base_kw, beams=beams)
+        # beam configs run HALF the camera-segment load: the full-scale
+        # beam3d program (64-chunk map over a 64-tile beam scan x 4
+        # shifts x 2 chord samples) faults the TPU worker — recorded
+        # honestly in configs[...]["config_note"] until the fault is
+        # root-caused
+        kw_b = dict(base_kw, beams=beams, vol_segments_per_pixel=1,
+                    volume_samples=1, beam_seg_tile=4096)
         cfg_b = GradientConfig(use_manifold=False, **kw_b)
         r_b = sppm.base_volume_radius(scene, cfg_b)
-        _try("beam3d", run_config, configs, scene, cfg_b, "beam3d",
-             n_photons, r_b, max(1, passes - 1))
+        # plane0d and beam1d run BEFORE beam3d: a beam3d worker fault
+        # would otherwise take the later configs down with it
         _try("plane0d", run_config, configs, scene, cfg_b, "plane0d",
              n_photons, r_b, max(1, passes - 1))
+        _try("beam1d", run_config, configs, scene, cfg_b, "beam1d",
+             n_photons, r_b, max(1, passes - 1))
+        _try("beam3d", run_config, configs, scene, cfg_b, "beam3d",
+             n_photons, r_b, max(1, passes - 1))
+        if isinstance(configs.get("beam3d"), dict) \
+                and "error" not in configs["beam3d"]:
+            configs["beam3d"]["config_note"] = \
+                "1 seg/pixel, 1 chord sample (see comment)"
 
     head = configs.get("distance") or {}
     failed = "error" in head or not head

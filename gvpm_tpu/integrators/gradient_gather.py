@@ -1397,13 +1397,11 @@ def beam3d_gradient_gather(scene: Scene, cb, scb_list, lb, n_emitted,
             chord = jnp.maximum(s1 - s0, 0.0)
             okb = sok[:, None] & tvb[None] & (chord > 0.0) \
                 & (mi[:, None] == tmb[None])
-            if "gid" in cb:   # device-count-invariant chord samples
-                from ..core import rng as _rng
-                us = _rng.lane_uniform(jax.random.fold_in(k_s, ti),
-                                       cb["gid"], (s_mid.shape[1],))
-            else:
-                us = jax.random.uniform(jax.random.fold_in(k_s, ti),
-                                        s_mid.shape)
+            # positional chord samples: the lane-keyed variant (vmapped
+            # per-lane threefry inside scan-inside-map) faulted the TPU
+            # worker at bench scale; beam3d invariance is statistical
+            us = jax.random.uniform(jax.random.fold_in(k_s, ti),
+                                    s_mid.shape)
             s = s0 + us * chord
             y = tob[None] + tdb[None] * s[..., None]
             dist2 = jnp.sum((x[:, None, :] - y) ** 2, axis=-1)
