@@ -44,7 +44,9 @@ def test_beams_have_me_eligible_origins(scene):
     assert int(jnp.sum(elig)) > 0, "no ME-eligible beams in the scene"
 
 
-@pytest.mark.parametrize("volume", ["beam1d", "beam3d"])
+@pytest.mark.parametrize(
+    "volume",
+    ["beam1d", pytest.param("beam3d", marks=pytest.mark.slow)])
 def test_beam_me_fires_and_stays_finite(scene, volume):
     p0, gx0, gy0, st0 = _pass(scene, volume, use_manifold=False)
     p1, gx1, gy1, st1 = _pass(scene, volume, use_manifold=True)

@@ -18,7 +18,11 @@ CFG = GradientConfig(max_depth=5, null_bounces=3, max_cam_depth=5,
                      use_manifold=False)
 
 
-@pytest.mark.parametrize("volume", ["beam1d", "plane0d", "beam3d"])
+@pytest.mark.parametrize(
+    "volume",
+    ["beam1d",
+     pytest.param("plane0d", marks=pytest.mark.slow),
+     pytest.param("beam3d", marks=pytest.mark.slow)])
 def test_beam_plane_gradients_match_fd(volume):
     scene = make_box_scene(w=10, h=10)
     out = gvpm.render(scene, CFG, volume=volume, passes=4, seed=3)

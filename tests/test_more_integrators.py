@@ -47,6 +47,7 @@ def test_photonmapper_matches_volpath(ref):
     assert 0.7 < m / mref < 1.35, (m, mref)
 
 
+@pytest.mark.slow
 def test_ppm_matches_volpath(ref):
     scene, mref = ref
     cfg = PhotonConfig(max_depth=5, null_bounces=2, max_cam_depth=5,
@@ -58,6 +59,7 @@ def test_ppm_matches_volpath(ref):
     assert 0.7 < m / mref < 1.35, (m, mref)
 
 
+@pytest.mark.slow
 def test_vpl_matches_volpath(ref):
     scene, mref = ref
     cfg = PhotonConfig(max_depth=4, null_bounces=2, max_cam_depth=4)
@@ -79,6 +81,7 @@ def test_bdpt_matches_volpath(ref):
     assert 0.7 < m / mref < 1.35, (m, mref)
 
 
+@pytest.mark.slow
 def test_erpt_matches_volpath(ref):
     from gvpm_tpu.integrators import erpt
     scene, mref = ref
@@ -99,6 +102,7 @@ def test_pssmlt_matches_volpath(ref):
     assert 0.7 < m / mref < 1.35, (m, mref)
 
 
+@pytest.mark.slow
 def test_mlt_matches_volpath(ref):
     """MLT (lens/chain/small/large kernel mixture) is unbiased after
     normalization: mean matches volpath (mlt.cpp cross-check vs bdpt,
