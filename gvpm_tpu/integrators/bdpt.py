@@ -83,9 +83,19 @@ def _cos_at(vtype, ns, w):
 
 
 def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
-                   key, transport, n_steps):
-    """Shared subpath walk; returns per-step vertex records [steps, N]."""
+                   key, transport, n_steps, rand_tile=1):
+    """Shared subpath walk; returns per-step vertex records [steps, N].
+
+    rand_tile > 1: the N lanes hold `rand_tile` equal groups and every
+    random draw is tiled so lane i of each group sees the SAME randoms
+    — base + offset wavefronts replay identical sequences in ONE
+    traced strategy loop (a 5x compile-size reduction for G-BDPT)."""
     n = o.shape[0]
+    g = n // rand_tile
+
+    def draw(k, shape):
+        u = jax.random.uniform(k, (g,) + shape[1:])
+        return jnp.tile(u, (rand_tile,) + (1,) * (len(shape) - 1))
 
     state = dict(o=o, d=d, med=med0, alpha=alpha0,
                  active=jnp.ones((n,), bool),
@@ -102,7 +112,7 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
 
         hit = intersect(scene, o, d)
         t_far = jnp.where(hit.valid, hit.t, jnp.inf)
-        u_med = jax.random.uniform(k_med, (n, 2))
+        u_med = draw(k_med, (n, 2))
         ms = med.sample_distance(scene, cur_med, o, d, t_far,
                                  u_med[:, 0], u_channel=u_med[:, 1])
         mevt = active & ms.success
@@ -150,12 +160,12 @@ def _trace_subpath(scene: Scene, cfg, o, d, med0, alpha0, dvcm0, dvc0,
                     is_delta=jnp.zeros((n,), bool))
 
         # --- scatter ---
-        u2 = jax.random.uniform(k_scat, (n, 2))
+        u2 = draw(k_scat, (n, 2))
         wo_med, pdf_phase = ph.sample_phase(scene, cur_med, -d, u2)
         nsf = hit.ns  # true normal: dielectric needs the side sign
         s_ax, t_ax = coordinate_system(nsf)
         wi_loc = to_local(nsf, s_ax, t_ax, -d)
-        u3 = jax.random.uniform(k_scat, (n, 3))
+        u3 = draw(k_scat, (n, 3))
         bs = sample_bsdf(scene, bi, wi_loc, u3, transport=transport)
         wo_srf = to_world(nsf, s_ax, t_ax, bs.wo)
         vert["is_delta"] = jnp.where(mevt, False, bs.is_delta)
@@ -307,7 +317,8 @@ def radiance(scene: Scene, cfg: VolPathConfig, px, py, k):
     return radiance_parts(scene, cfg, px, py, k)["L"]
 
 
-def radiance_parts(scene: Scene, cfg: VolPathConfig, px, py, k):
+def radiance_parts(scene: Scene, cfg: VolPathConfig, px, py, k,
+                   rand_tile=1):
     """BDPT estimate split into the buckets the G-BDPT path-space shift
     needs (gbdpt_proc.cpp:606 createShiftedLightPath analog — here the
     CAMERA subpath is shifted and the light subpath shared):
@@ -325,24 +336,29 @@ def radiance_parts(scene: Scene, cfg: VolPathConfig, px, py, k):
     records and the s=1 emitter endpoint, so gbdpt can run offset
     connection sweeps without retracing."""
     n = px.shape[0]
+    g = n // rand_tile
     k_pix, k_cam, k_le, k_lw = jax.random.split(k, 4)
+
+    def draw(kk, shape):
+        u = jax.random.uniform(kk, (g,) + shape[1:])
+        return jnp.tile(u, (rand_tile,) + (1,) * (len(shape) - 1))
 
     n_steps = cfg.max_depth + cfg.null_bounces
 
     # ---- camera subpath ----
-    o, d, _ = generate_rays(scene, px, py,
-                            jax.random.uniform(k_pix, (n, 2)))
+    o, d, _ = generate_rays(scene, px, py, draw(k_pix, (n, 2)))
     cam = _trace_subpath(scene, cfg, o, d,
                          jnp.broadcast_to(scene.cam_medium, (n,)),
                          jnp.ones((n, 3)),
                          jnp.zeros((n,)),   # dVCM=0: t=1 excluded
                          jnp.zeros((n,)),
-                         k_cam, "radiance", n_steps)
+                         k_cam, "radiance", n_steps,
+                         rand_tile=rand_tile)
 
-    # ---- light subpath ----
-    es = sample_position(scene, jax.random.uniform(k_le, (n, 3)))
-    d0, pdf_dir0 = sample_direction(scene, es,
-                                    jax.random.uniform(k_le, (n, 2)))
+    # ---- light subpath (rand_tile: IDENTICAL across lane groups —
+    # G-BDPT's shared light subpath) ----
+    es = sample_position(scene, draw(k_le, (n, 3)))
+    d0, pdf_dir0 = sample_direction(scene, es, draw(k_le, (n, 2)))
     cos_e = jnp.maximum(dot(es.n, d0), 1e-6)
     emission_pdf = jnp.maximum(es.pdf_area * pdf_dir0, 1e-20)
     alpha_l0 = es.radiance * (cos_e / emission_pdf)[..., None]
@@ -352,7 +368,7 @@ def radiance_parts(scene: Scene, cfg: VolPathConfig, px, py, k):
     med_l0 = medium_transition(scene, es.prim, es.n, d0)
     lt = _trace_subpath(scene, cfg, es.p + es.n * RAY_EPS, d0, med_l0,
                         alpha_l0, dvcm_l0, dvc_l0, k_lw, "importance",
-                        n_steps)
+                        n_steps, rand_tile=rand_tile)
 
     L = jnp.zeros((n, 3))
     buckets = {kk: jnp.zeros((n, 3))

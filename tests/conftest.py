@@ -26,9 +26,10 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) >= 8
 
 jax.config.update("jax_threefry_partitionable", True)
-# persistent compile cache: this box is compile-bound (2 CPUs)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# NO persistent compile cache: XLA:CPU AOT entries on this box load
+# with machine-feature mismatches ("prefer-no-scatter ... could lead to
+# SIGILL") and twice segfaulted mid-suite (round-4 post-mortem) —
+# cold compiles are slower but deterministic
 
 
 def pytest_configure(config):

@@ -3,12 +3,16 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from gvpm_tpu.core.config import VolPathConfig
 from gvpm_tpu.integrators import gbdpt
 from tests.test_more_integrators import _box
 
 
+# the 5x-traced strategy loops are a multi-GB XLA-CPU compile on this
+# 2-CPU box — default CI runs the cheap machinery checks only
+@pytest.mark.slow
 def test_gbdpt_gradients_match_fd():
     scene = _box(12, 12)
     cfg = VolPathConfig(spp=6, max_depth=4, null_bounces=2)
@@ -27,6 +31,7 @@ def test_gbdpt_gradients_match_fd():
     assert corr > 0.35, f"gy/fd correlation {corr:.3f}"
 
 
+@pytest.mark.slow
 def test_reconnect_beats_pss_variance():
     """The path-space camera-subpath shift (createShiftedLightPath
     analog) must cut per-sample gradient variance vs the PSS identity
