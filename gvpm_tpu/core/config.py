@@ -93,6 +93,10 @@ class PhotonConfig(PathConfig):
     gather_window: int = 768          # rows streamed per tile run
     window_q_tile: int = 128          # queries per window tile (smaller
                                       # tiles -> tighter windows)
+    pallas_q_tile: int = 128          # queries per fused-kernel tile
+                                      # (driver="pallas"; [Qt, W] pair
+                                      # planes live in VMEM)
+    pallas_window: int = 256          # rows per fused-kernel window DMA
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,7 +56,11 @@ _SLOT3 = ("p", "wi", "alpha", "parent_p", "parent_wi", "parent_ns",
           "pm_alb", "pm_spec", "pm_eta3", "pm_sigs")
 _SLOT1 = ("pdf_dir_base", "parent_type", "parent_bsdf", "parent_med",
           "reconnectable", "vtype", "bsdf", "prim", "depth",
-          "pm_btype", "pm_alpha", "pm_eta1", "pm_g", "pm_ptype")
+          "pm_btype", "pm_alpha", "pm_eta1", "pm_g", "pm_ptype",
+          # baked ME-eligibility flags (the fused Pallas kernel cannot
+          # do scene-table lookups): parent lobe is delta, own surface
+          # lobe is delta/null
+          "pm_delta", "own_delta")
 SLOT = {}
 _k = 0
 for _n in _SLOT3:
@@ -94,12 +98,19 @@ def pack_photons(scene: Scene, pv, valid=None):
         pm_eta3=take(scene.bsdf_eta3, bic),
         pm_sigs=jnp.where(p_in_med[..., None],
                           take(scene.med_sigma_s, pmi), 0.0))
+    pbt = take(scene.bsdf_type, bic)
+    obt = take(scene.bsdf_type,
+               jnp.clip(pv["bsdf"], 0, scene.bsdf_type.shape[0] - 1))
     derived1 = dict(
-        pm_btype=take(scene.bsdf_type, bic),
+        pm_btype=pbt,
         pm_alpha=take(scene.bsdf_alpha, bic),
         pm_eta1=take(scene.bsdf_eta, bic),
         pm_g=take(scene.med_g, pmi),
-        pm_ptype=take(scene.med_phase, pmi))
+        pm_ptype=take(scene.med_phase, pmi),
+        pm_delta=((pbt == BSDF_CONDUCTOR)
+                  | (pbt == BSDF_DIELECTRIC)).astype(jnp.float32),
+        own_delta=((obt == BSDF_CONDUCTOR) | (obt == BSDF_DIELECTRIC)
+                   | (obt == BSDF_NULL)).astype(jnp.float32))
     cols = []
     for n in _SLOT3:
         a = derived3[n] if n in derived3 else pv[n]
@@ -262,6 +273,211 @@ def _mis_planar(pdf_ratio_light, pdf_ratio_cam, ok):
 
 
 # ---------------------------------------------------------------------------
+# fused Pallas kernel path (ops/pallas_gather.py driver="pallas")
+# ---------------------------------------------------------------------------
+
+def _mk_qslots(f3names, f1names):
+    slots = {}
+    k = 0
+    for n in f3names:
+        slots[n] = k
+        k += 3
+    for n in f1names:
+        slots[n] = k
+        k += 1
+    return slots, k
+
+
+_VOL_Q3 = ("x", "d", "xs0", "xs1", "xs2", "xs3",
+           "sd0", "sd1", "sd2", "sd3")
+_VOL_Q1 = ("g", "pt", "sok", "depth",
+           "cam_ok0", "cam_ok1", "cam_ok2", "cam_ok3",
+           "prc0", "prc1", "prc2", "prc3",
+           "border0", "border1", "border2", "border3")
+VOL_QSLOTS, _VOL_NQ = _mk_qslots(_VOL_Q3, _VOL_Q1)
+VOL_QROW_F = 64
+VOL_N_ADD = 30   # primal 3 + S 12 + W 12 + visits + shift_ok + dropped
+
+
+def _volume_eval_pallas(min_depth, use_manifold):
+    """In-kernel mirror of volume_gather.eval_core: 3D-kernel primal +
+    4 reconnection shifts on [Qt, W] pair planes (the same planar math,
+    executed inside one Mosaic kernel — see ops/pallas_gather.py)."""
+
+    def eval_fn(qv, wv, ok, scale, par, absrow):
+        r2 = par[0, 0]
+        k3 = par[0, 1]
+        xq = qv.f3("x")
+        dq = qv.f3("d")
+        ph_p = wv.f3("p")
+        rel = pl.sub3(ph_p, xq)
+        d2 = pl.dot3(rel, rel)
+        inside = ok & (wv.f1("vtype") == 2.0) & (d2 < r2) & qv.b1("sok")
+        if min_depth > 0:
+            inside = inside & (wv.f1("depth") + qv.f1("depth") + 1.0
+                               >= float(min_depth))
+        cos_t = -pl.dot3(wv.f3("wi"), dq)
+        pf = pl.phase_params(cos_t, qv.f1("g"), qv.i1("pt"))
+        kw = jnp.where(inside, pf * k3 * scale, 0.0)
+        a = wv.f3("alpha")
+        cb = (a[0] * kw, a[1] * kw, a[2] * kw)
+
+        def rsum(v):
+            return jnp.sum(v, axis=1, keepdims=True)
+
+        pre = _shift_caches(wv, surface_target=False)
+        cols = [rsum(c) for c in cb]
+        s_cols, w_cols = [], []
+        okc = jnp.zeros((ok.shape[0], 1), jnp.float32)
+        for i in range(4):
+            sp = qv.f3(f"xs{i}")
+            new_p = (sp[0] + rel[0], sp[1] + rel[1], sp[2] + rel[2])
+            a_sh, pr_l, ok_s, w_new = _reconnect_planar(
+                None, pre, new_p, target_is_volume=True)
+            sdq = qv.f3(f"sd{i}")
+            cos_s = -pl.dot3(w_new, sdq)
+            pf_s = pl.phase_params(cos_s, qv.f1("g"), qv.i1("pt"))
+            ok_i = ok_s & qv.b1(f"cam_ok{i}") & inside
+            w = _mis_planar(pr_l, qv.f1(f"prc{i}"), ok_i)
+            w = jnp.where(qv.b1(f"border{i}"), 1.0, w)
+            kwi = jnp.where(ok_i, pf_s * k3 * scale, 0.0) * w
+            s_cols += [rsum(a_sh[c] * kwi) for c in range(3)]
+            w_cols += [rsum(w * c) for c in cb]
+            okc = okc + rsum(ok_i.astype(jnp.float32))
+        visits = rsum(inside.astype(jnp.float32))
+        add = jnp.concatenate(
+            cols + s_cols + w_cols
+            + [visits, okc, jnp.zeros_like(visits)], axis=1)
+        mk = None
+        if use_manifold:
+            from ..ops.pallas_gather import BIG_F
+            me_m = (inside & ~pre["reconn"]
+                    & (pre["ptype"] == pl.VERT_SURFACE)
+                    & wv.b1("pm_delta"))
+            key = jnp.where(me_m, absrow.astype(jnp.float32), BIG_F)
+            kmin = jnp.min(key, axis=1, keepdims=True)
+            sel = (key == kmin) & me_m
+            smin = jnp.max(jnp.where(sel, scale, 0.0), axis=1,
+                           keepdims=True)
+            mk = (kmin, smin)
+        return add, mk
+
+    return eval_fn
+
+
+_SUR_Q3 = ("p", "ns", "s", "t", "wo", "alb", "spec", "eta3",
+           "p0", "ns0", "s0", "t0", "wo0",
+           "p1", "ns1", "s1", "t1", "wo1",
+           "p2", "ns2", "s2", "t2", "wo2",
+           "p3", "ns3", "s3", "t3", "wo3")
+_SUR_Q1 = ("btype", "alpha_b", "eta1", "r2", "valid", "depth",
+           "comp0", "comp1", "comp2", "comp3",
+           "sens0", "sens1", "sens2", "sens3",
+           "border0", "border1", "border2", "border3")
+SUR_QSLOTS, _SUR_NQ = _mk_qslots(_SUR_Q3, _SUR_Q1)
+SUR_QROW_F = 128
+
+
+def _surface_eval_pallas(min_depth, use_manifold):
+    """In-kernel mirror of surface_gather.eval_core (2D kernel primal +
+    4 reconnection shifts). The shifted gather point's BSDF equals the
+    base's whenever comp[i] holds (structure compatibility requires
+    sgp.bsdf == base.bsdf), so the base's baked BSDF params serve both
+    evaluations — incompatible pairs are masked out anyway."""
+
+    def eval_fn(qv, wv, ok, scale, par, absrow):
+        gp_p = qv.f3("p")
+        r2 = qv.f1("r2")
+        ns = qv.f3("ns")
+        s_ax = qv.f3("s")
+        t_ax = qv.f3("t")
+        wo_l = qv.f3("wo")
+        ph_p = wv.f3("p")
+        rel = pl.sub3(ph_p, gp_p)
+        d2 = pl.dot3(rel, rel)
+        wi_p = wv.f3("wi")
+        nwi = pl.neg3(wi_p)
+        front = pl.dot3(ns, nwi) > 1e-4
+        inside = (ok & (wv.f1("vtype") == 1.0) & (d2 < r2) & front
+                  & qv.b1("valid"))
+        if min_depth > 0:
+            inside = inside & (wv.f1("depth") + qv.f1("depth")
+                               >= float(min_depth))
+        wi_l = pl.to_local_planes(ns, s_ax, t_ax, nwi)
+        bparams = dict(btype=qv.i1("btype"), alb=qv.f3("alb"),
+                       spec=qv.f3("spec"), eta3=qv.f3("eta3"),
+                       alpha=qv.f1("alpha_b"), eta1=qv.f1("eta1"))
+        fr, fg, fb, _ = pl.eval_bsdf_pdf_params(bparams, wo_l, wi_l)
+        k2 = INV_PI / jnp.maximum(r2, 1e-12)
+        kw = jnp.where(inside, k2 * scale, 0.0)
+        a = wv.f3("alpha")
+        cb = (a[0] * fr * kw, a[1] * fg * kw, a[2] * fb * kw)
+
+        def rsum(v):
+            return jnp.sum(v, axis=1, keepdims=True)
+
+        pre = _shift_caches(wv, surface_target=True)
+        cols = [rsum(c) for c in cb]
+        s_cols, w_cols = [], []
+        okc = jnp.zeros((ok.shape[0], 1), jnp.float32)
+        for i in range(4):
+            sp = qv.f3(f"p{i}")
+            new_p = (sp[0] + rel[0], sp[1] + rel[1], sp[2] + rel[2])
+            a_sh, pr_l, ok_s, w_new = _reconnect_planar(
+                None, pre, new_p, target_is_volume=False)
+            wi_ls = pl.to_local_planes(qv.f3(f"ns{i}"), qv.f3(f"s{i}"),
+                                       qv.f3(f"t{i}"), pl.neg3(w_new))
+            fs = pl.eval_bsdf_pdf_params(bparams, qv.f3(f"wo{i}"),
+                                         wi_ls)
+            ok_i = ok_s & qv.b1(f"comp{i}") & inside
+            w = _mis_planar(pr_l, qv.f1(f"sens{i}"), ok_i)
+            w = jnp.where(qv.b1(f"border{i}"), 1.0, w)
+            kwi = jnp.where(ok_i, k2 * scale, 0.0) * w
+            s_cols += [rsum(a_sh[c] * fs[c] * kwi) for c in range(3)]
+            w_cols += [rsum(w * c) for c in cb]
+            okc = okc + rsum(ok_i.astype(jnp.float32))
+        visits = rsum(inside.astype(jnp.float32))
+        add = jnp.concatenate(
+            cols + s_cols + w_cols
+            + [visits, okc, jnp.zeros_like(visits)], axis=1)
+        mk = None
+        if use_manifold:
+            from ..ops.pallas_gather import BIG_F
+            me_m = (inside & ~pre["reconn"]
+                    & (pre["ptype"] == pl.VERT_SURFACE)
+                    & wv.b1("pm_delta") & ~wv.b1("own_delta"))
+            key = jnp.where(me_m, absrow.astype(jnp.float32), BIG_F)
+            kmin = jnp.min(key, axis=1, keepdims=True)
+            sel = (key == kmin) & me_m
+            smin = jnp.max(jnp.where(sel, scale, 0.0), axis=1,
+                           keepdims=True)
+            mk = (kmin, smin)
+        return add, mk
+
+    return eval_fn
+
+
+def _unpack_pallas_out(planv, out_flat, n_add, me):
+    """Kernel tile output -> the gather-driver out dict contract."""
+    from ..ops import pallas_gather as pg
+    res = pg.unsort(planv, out_flat)
+    Q = res.shape[0]
+    out = dict(primal=res[:, 0:3],
+               S=res[:, 3:15].reshape(Q, 4, 3),
+               W=res[:, 15:27].reshape(Q, 4, 3),
+               visits=res[:, 27].astype(jnp.int32),
+               shift_ok=res[:, 28].astype(jnp.int32))
+    dropped = jnp.sum(res[:, 29]).astype(jnp.int32)
+    if me:
+        key = res[:, n_add]
+        out["me_q"] = jnp.arange(Q, dtype=jnp.int32)
+        out["me_i"] = jnp.clip(key, 0, 2**30).astype(jnp.int32)
+        out["me_scale"] = res[:, n_add + 1]
+        out["me_ok"] = key < 1e29
+    return out, dropped
+
+
+# ---------------------------------------------------------------------------
 # ME (manifold) pair compaction — getTypeShift's third branch
 # ---------------------------------------------------------------------------
 
@@ -301,7 +517,8 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
                    border, max_per_cell=32, q_tile=128, stencil=8,
                    use_manifold=False, me_budget=4096, pv_chain=None,
                    budget=None, min_depth=0, window=768,
-                   window_q_tile=128, driver="window", k_budget=32):
+                   window_q_tile=128, driver="window", k_budget=32,
+                   pallas_q_tile=128, pallas_window=256):
     """Surface photon gather with 4-direction shifts, dense planar path.
 
     packed: pack_photons table permuted into `grid` order. Three
@@ -412,7 +629,41 @@ def surface_gather(scene: Scene, base, sgps, grid, packed, n_emitted,
         return res
 
     overflow = jnp.zeros((), jnp.int32)
-    if isinstance(grid, cellgrid.CellGrid) and driver == "cull":
+    if isinstance(grid, cellgrid.CellGrid) and driver == "pallas":
+        from ..ops import pallas_gather as pg
+        interp = jax.default_backend() == "cpu"
+        planv = pg.plan_windows(grid, base.p, base.valid,
+                                q_tile=pallas_q_tile,
+                                window=pallas_window)
+        bic = jnp.clip(base.bsdf, 0, scene.bsdf_type.shape[0] - 1)
+        cols3 = [base.p, base.ns, s_ax_all, t_ax_all, wo_loc_all,
+                 scene.bsdf_albedo[bic], scene.bsdf_k[bic],
+                 scene.bsdf_eta3[bic]]
+        for i in range(4):
+            cols3 += [sgps[i].p, sgps[i].ns, sgp_frames[i][0],
+                      sgp_frames[i][1], sgp_frames[i][2]]
+        cols1 = [scene.bsdf_type[bic].astype(jnp.float32),
+                 scene.bsdf_alpha[bic], scene.bsdf_eta[bic],
+                 r_all * r_all, base.valid.astype(jnp.float32),
+                 base.depth.astype(jnp.float32)] \
+            + [comp[i].astype(jnp.float32) for i in range(4)] \
+            + [sens[i] for i in range(4)] \
+            + [border[i].astype(jnp.float32) for i in range(4)]
+        qrows = jnp.concatenate(
+            [c.astype(jnp.float32) for c in cols3]
+            + [c[:, None] for c in cols1], axis=1)
+        qrows = jnp.pad(qrows,
+                        ((0, 0), (0, SUR_QROW_F - qrows.shape[1])))
+        qrows = qrows[planv["qi"]]
+        params = jnp.zeros((1, 8), jnp.float32)
+        out_flat = pg.fused_gather(
+            planv, packed.T, qrows, params,
+            _surface_eval_pallas(min_depth, use_manifold),
+            VOL_N_ADD, SUR_QSLOTS, SLOT, me=use_manifold,
+            interpret=interp)
+        out, dropped = _unpack_pallas_out(planv, out_flat, VOL_N_ADD,
+                                          use_manifold)
+    elif isinstance(grid, cellgrid.CellGrid) and driver == "cull":
         def eval_cf(qi, idx, ok, scale):
             return eval_core(qi, RowView(packed[idx]), ok, scale, idx)
         out, dropped, overflow = cellgrid.gather_ranked_cull(
@@ -513,7 +764,8 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
                   q_tile=128, stencil=8, use_manifold=False,
                   me_budget=4096, pv_chain=None, budget=None,
                   min_depth=0, window=768, window_q_tile=128,
-                  driver="window", k_budget=32):
+                  driver="window", k_budget=32, pallas_q_tile=128,
+                  pallas_window=256):
     """VPM/distance gather with 4-direction shifts, dense planar path.
 
     Matches gvpm.volume_gradient_gather semantics; packed/pv_chain as in
@@ -539,6 +791,11 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
     narrow = (cellgrid.narrow_table(packed)
               if isinstance(grid, cellgrid.CellGrid) and driver == "cull"
               else None)
+    # feature-major table for the fused kernel: one XLA transpose per
+    # pass; windows then DMA as 128 contiguous stripes
+    tbl_T = (packed.T
+             if isinstance(grid, cellgrid.CellGrid) and driver == "pallas"
+             else None)
 
     def one_sample(k):
         if "gid" in cb:   # device-count-invariant draws (core/rng.py)
@@ -624,7 +881,37 @@ def volume_gather(scene: Scene, cb, scb_list, grid, packed, n_emitted,
             return res
 
         overflow = jnp.zeros((), jnp.int32)
-        if isinstance(grid, cellgrid.CellGrid) and driver == "cull":
+        if isinstance(grid, cellgrid.CellGrid) and driver == "pallas":
+            from ..ops import pallas_gather as pg
+            interp = jax.default_backend() == "cpu"
+            planv = pg.plan_windows(grid, x, sok, q_tile=pallas_q_tile,
+                                    window=pallas_window)
+            mic = jnp.clip(mi, 0, scene.med_g.shape[0] - 1)
+            cols3 = [x, d] + xs + [scb_list[i]["d"] for i in range(4)]
+            cols1 = [scene.med_g[mic],
+                     scene.med_phase[mic].astype(jnp.float32),
+                     sok, cb["depth"].astype(jnp.float32)] \
+                + [c.astype(jnp.float32) for c in cam_ok] \
+                + pdf_ratio_cam \
+                + [border_lane[i].astype(jnp.float32) for i in range(4)]
+            qrows = jnp.concatenate(
+                [c.astype(jnp.float32) for c in cols3]
+                + [c[:, None] for c in cols1], axis=1)
+            qrows = jnp.pad(qrows,
+                            ((0, 0), (0, VOL_QROW_F - qrows.shape[1])))
+            qrows = qrows[planv["qi"]]
+            k3s = jnp.float32(k3)
+            params = jnp.stack(
+                [r_vol * r_vol, k3s] + [jnp.float32(0.0)] * 6
+            ).reshape(1, 8).astype(jnp.float32)
+            out_flat = pg.fused_gather(
+                planv, tbl_T, qrows, params,
+                _volume_eval_pallas(min_depth, use_manifold),
+                VOL_N_ADD, VOL_QSLOTS, SLOT, me=use_manifold,
+                interpret=interp)
+            out, dropped = _unpack_pallas_out(planv, out_flat,
+                                              VOL_N_ADD, use_manifold)
+        elif isinstance(grid, cellgrid.CellGrid) and driver == "cull":
             def eval_cf(qi, idx, ok, scale):
                 return eval_core(qi, RowView(packed[idx]), ok, scale,
                                  idx)

@@ -399,13 +399,13 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     # before the payload gather — the S*P slot array is ~80% RR-killed
     # padding at paper scale)
     gbudget = cfg.gather_budget or None
-    windowed = cfg.gather_driver in ("window", "cull")
+    windowed = cfg.gather_driver in ("window", "cull", "pallas")
     r_surf = base.radius * surf_scale
     base_s = base.replace(radius=r_surf)
     surf_valid = (photons["vtype"] == ptracer.VERT_SURFACE) & keep
     # cull driver queries a 3x3x3 stencil (cell >= r: 2.4x fewer
     # candidates per ball); the windowed drivers keep 2x2x2 at 2r
-    cmul = 1.0 if cfg.gather_driver == "cull" else 2.0
+    cmul = 1.0 if cfg.gather_driver in ("cull", "pallas") else 2.0
     cell = cmul * jnp.maximum(
         jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
     packed = gradient_gather.pack_photons(
@@ -426,7 +426,8 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         window=cfg.gather_window, window_q_tile=cfg.window_q_tile,
         driver=cfg.gather_driver, k_budget=cfg.cull_k,
         use_manifold=cfg.use_manifold, me_budget=cfg.me_pair_budget,
-        pv_chain=photons)
+        pv_chain=photons, pallas_q_tile=cfg.pallas_q_tile,
+        pallas_window=cfg.pallas_window)
     visits = jnp.sum(v_s)
     shift_ok = jnp.sum(so_s)
     win_dropped = dr_s[0]
@@ -478,7 +479,9 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                 driver=cfg.gather_driver, k_budget=cfg.cull_k,
                 use_manifold=cfg.use_manifold,
                 me_budget=cfg.me_pair_budget,
-                pv_chain=photons)
+                pv_chain=photons,
+                pallas_q_tile=cfg.pallas_q_tile,
+                pallas_window=cfg.pallas_window)
         else:
             dr_v = jnp.zeros((3,), jnp.int32)
             p_v, S_v, W_v, v_v, so_v = gradient_gather.bre_gather(
