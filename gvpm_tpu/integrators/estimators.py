@@ -389,7 +389,10 @@ def make_planes(scene: Scene, lb, key):
     # the plane rotation shift (gradient_gather.plane_gradient_gather)
     for k in ("parent_p", "parent_type", "parent_wi", "parent_ns",
               "parent_bsdf", "parent_med", "scatter_base",
-              "pdf_dir_base", "reconnectable"):
+              "pdf_dir_base", "reconnectable",
+              # chain provenance for the plane ME shift
+              # (gradient_gather._plane_me_stage)
+              "parent_idx", "at_origin"):
         if k in lb:
             out[k] = lb[k]
     return out

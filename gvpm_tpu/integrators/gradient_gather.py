@@ -1956,7 +1956,8 @@ def _beam3d_me_stage(scene: Scene, fields, pv_chain, xs, x, cam_ok,
 
 
 def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
-                          border_lane, tile=256):
+                          border_lane, tile=256, use_manifold=False,
+                          me_budget=2048, pv_chain=None):
     """0D photon-plane gradient gather with the medium-ROTATION shift.
 
     Reference mediumRotationShift (shift/operation/shift_medium.h:39,
@@ -1999,6 +2000,10 @@ def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
 
     fields = dict(planes)
     fields.update(_bake_beam_params(scene, planes))
+    do_me = use_manifold and pv_chain is not None \
+        and "parent_idx" in planes and "at_origin" in planes
+    fields["me_elig"] = (_beam_me_elig(scene, planes) if do_me
+                         else jnp.zeros_like(planes["valid"]))
     npl = planes["o"].shape[0]
     n_tiles = -(-npl // tile)
     pad = n_tiles * tile - npl
@@ -2012,7 +2017,8 @@ def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
             "surv1_sigma", "parent_p", "parent_wi", "parent_ns",
             "scatter_base", "pdf_dir_base", "parent_type",
             "reconnectable", "bp_btype", "bp_alb", "bp_spec", "bp_eta3",
-            "bp_alpha", "bp_eta1", "bp_sigs", "bp_g", "bp_ptype")
+            "bp_alpha", "bp_eta1", "bp_sigs", "bp_g", "bp_ptype",
+            "me_elig")
     tiles = {k: tl(fields[k]) for k in keys}
 
     def p3(a):
@@ -2030,13 +2036,15 @@ def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
                           v[..., 2] * cos_r + cz * sin_r + kz * f],
                          axis=-1)
 
-    def tile_step(acc, t):
-        primal, S, W, visits, shok = acc
+    def tile_step(acc, tt):
+        ti, t = tt
+        primal, S, W, visits, shok, me_found, me_plane, me_total = acc
         po, pw0, pl0 = t["o"], t["w0"], t["l0"]
         pw1, pl1, pal = t["w1"], t["l1"], t["alpha"]
         pval = t["valid"] > 0.5
         pmed = t["med"].astype(jnp.int32)
         psig = t["surv1_sigma"]
+        me_t = t["me_elig"] > 0.5
 
         # ---- base Moller-Trumbore (intersectPlane0D) ----
         e0 = pw0 * pl0[..., None]
@@ -2078,6 +2086,16 @@ def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
             * cthr[:, None, :]
         primal = primal + jnp.sum(c_base, axis=1)
         visits = visits + jnp.sum(okb)
+
+        # ---- ME pair collection: first eligible plane per segment
+        # (excluded from the identity fallback; resolved post-scan) ----
+        elig = okb & me_t[None]
+        any_e = jnp.any(elig, axis=1)
+        first = jnp.argmax(elig, axis=1).astype(jnp.int32)
+        take = any_e & ~me_found
+        me_plane = jnp.where(take, ti * tile + first, me_plane)
+        me_found = me_found | any_e
+        me_total = me_total + jnp.sum(elig)
 
         # ---- shift caches ----
         y = oc[:, None, :] + dc[:, None, :] * tcam[..., None]
@@ -2178,7 +2196,8 @@ def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
             Qi = jnp.cross(Ti, e0[None])
             u1i = dot(sd[i][:, None, :], Qi) * inv_di
             tci = dot(e1[None], Qi) * inv_di
-            ok_id = (okb & ~reconn & oki & svalid[i][:, None]
+            ok_id = (okb & ~reconn & ~me_t[None] & oki
+                     & svalid[i][:, None]
                      & (u0i >= 0.0) & (u0i <= 1.0)
                      & (u1i >= 0.0) & (u1i <= 1.0)
                      & (tci > 1e-5) & (tci < slen[i][:, None]))
@@ -2215,14 +2234,177 @@ def plane_gradient_gather(scene: Scene, cb, scb_list, planes, n_emitted,
                 jnp.where(okb[..., None], w[..., None] * c_base, 0.0),
                 axis=1))
             shok = shok + jnp.sum(ok_rc)
-        return (primal, S, W, visits, shok), None
+        return (primal, S, W, visits, shok,
+                me_found, me_plane, me_total), None
 
     init = (jnp.zeros((m, 3)), jnp.zeros((4, m, 3)),
             jnp.zeros((4, m, 3)), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((m,), bool), jnp.zeros((m,), jnp.int32),
             jnp.zeros((), jnp.int32))
-    (primal, S, W, visits, shok), _ = lax.scan(tile_step, init, tiles)
+    (primal, S, W, visits, shok, me_found, me_plane, me_total), _ = \
+        lax.scan(tile_step, init, (jnp.arange(n_tiles), tiles))
+
+    me_drop = jnp.zeros((), jnp.int32)
+    if do_me:
+        B_me = min(me_budget, m)
+        vals, sq = lax.top_k(me_found.astype(jnp.int32), B_me)
+        sel = vals > 0
+        pq = me_plane[sq]
+        S, W, shok, att = _plane_me_stage(
+            scene, fields, pv_chain, cb, scb_list, sens, svalid, slen,
+            so, sd, sthr, border_lane, sq, pq, sel, S, W, shok,
+            sigma_s, st_c, mi, cthr)
+        me_drop = me_total - att
     inv = 1.0 / n_emitted
-    # no ME branch for planes yet (shift_volume_planes.h:57 dispatches
-    # ME too — the rotation shift covers reconnectable origins only)
-    return (primal * inv, S * inv, W * inv, visits, shok,
-            jnp.zeros((), jnp.int32))
+    return (primal * inv, S * inv, W * inv, visits, shok, me_drop)
+
+
+def _plane_me_stage(scene: Scene, fields, pv_chain, cb, scb_list, sens,
+                    svalid, slen, so, sd, sthr, border_lane, sq, pq,
+                    sel, S, W, shok, sigma_s, st_c, mi, cthr):
+    """Post-scan manifold stage for photon-plane ME pairs (the missing
+    branch of PlaneGradRadianceQuery's dispatch: shift_volume_planes.h:57
+    routes delta-origin planes through the ME machinery of
+    shift/operation/shift_medium.h:39 instead of the rotation shift).
+
+    Formulation: the plane's generating beam origin A ends a pure-delta
+    chain, so its position/direction are the chain exit. The chain is
+    Newton-solved (manifold.me_shift_beam) so the shifted AXIS passes
+    through q' = y'_i - t1*w1 — the offset camera intersection minus the
+    base extension offset (the kernel-offset-preserving target,
+    getShiftPos analog). The shifted plane is then A', w0' = chain exit
+    dir, w1' = R w0->w0' applied to w1 (minimal rotation — preserves the
+    w0/w1 angle so the extension phase value/pdf cancel exactly, as in
+    mediumRotationShift), re-intersected EXACTLY against the offset
+    camera ray. Chain ratios (anchor scatter, Fresnel, transmittance,
+    manifold measure) come from the solver; plane-estimator factors are
+    recomputed on the shifted geometry.
+    """
+    from ..core.math import dot
+    from . import estimators as est
+    from . import manifold
+
+    oq, dq, lq = cb["o"][sq], cb["d"][sq], cb["length"][sq]
+    miq = mi[sq]
+    sg_q, st_q = sigma_s[sq], st_c[sq]
+    g_q = scene.med_g[jnp.clip(miq, 0, scene.med_g.shape[0] - 1)]
+    pt_q = scene.med_phase[jnp.clip(miq, 0, scene.med_g.shape[0] - 1)]
+
+    po = fields["o"][pq]
+    pw0 = fields["w0"][pq]
+    pl0 = fields["l0"][pq]
+    pw1 = fields["w1"][pq]
+    pl1 = fields["l1"][pq]
+    pal = fields["alpha"][pq]
+    pmed = fields["med"][pq].astype(jnp.int32)
+    psig = fields["surv1_sigma"][pq]
+
+    # base Moller-Trumbore (pair lanes)
+    e0 = pw0 * pl0[..., None]
+    e1 = pw1 * pl1[..., None]
+    Pv = jnp.cross(dq, e1)
+    det = dot(e0, Pv)
+    okb = jnp.abs(det) > 1e-7
+    inv_det = jnp.where(okb, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    T_ = oq - po
+    u0 = dot(T_, Pv) * inv_det
+    Q = jnp.cross(T_, e0)
+    u1 = dot(dq, Q) * inv_det
+    tcam = dot(e1, Q) * inv_det
+    okb = (sel & okb & (u0 >= 0.0) & (u0 <= 1.0) & (u1 >= 0.0)
+           & (u1 <= 1.0) & (tcam > 1e-5) & (tcam < lq)
+           & (miq == pmed))
+    t0 = u0 * pl0
+    t1 = u1 * pl1
+    tr_cam = jnp.exp(-st_q * tcam[..., None])
+    pf_b = pl.phase_params(-dot(pw1, dq), g_q, pt_q)
+    tr0 = jnp.exp(-st_q * t0[..., None])
+    tr1 = jnp.exp(-st_q * t1[..., None])
+    surv0 = est.survival_prob(scene, miq, t0)
+    surv1 = jnp.exp(-psig * t1)
+    jac = jnp.abs(dot(pw0, jnp.cross(pw1, dq)))
+    wgt_b = (tr_cam * tr0 * tr1 * sg_q * sg_q
+             * (pf_b / (jnp.maximum(surv0, 1e-9)
+                        * jnp.maximum(surv1, 1e-9)
+                        * jnp.maximum(jac, 1e-6)))[..., None])
+    c_base_pair = jnp.where(okb[..., None], pal * wgt_b, 0.0) \
+        * cthr[sq]
+
+    # chain pull: virtual photon = base axis point A + t0*w0
+    q_axis = po + pw0 * t0[..., None]
+    virt = dict(p=q_axis, seg_med=pmed,
+                parent_idx=fields["parent_idx"][pq].astype(jnp.int32),
+                reconnectable=jnp.zeros(sq.shape, bool),
+                parent_type=fields["parent_type"][pq].astype(jnp.int32),
+                parent_bsdf=fields["parent_bsdf"][pq].astype(jnp.int32))
+    ch = manifold.pull_chains(scene, pv_chain, virt=virt)
+    wscale = jnp.linalg.norm(scene.world_hi - scene.world_lo)
+    y_base = oq + dq * tcam[..., None]
+
+    att = jnp.sum(okb)
+    for i in range(4):
+        so_i, sd_i = so[i][sq], sd[i][sq]
+        sthr_i, slen_i = sthr[i][sq], slen[i][sq]
+        y_i = so_i + sd_i * tcam[..., None]
+        q_t = y_i - (y_base - q_axis)     # preserve extension offset
+        org_n, w0n, t0n, ar, pr_ch, okm = manifold.me_shift_beam(
+            scene, ch, q_t, scene_scale=wscale)
+        # minimal rotation w0 -> w0' applied to w1
+        cos_r = dot(pw0, w0n)
+        axis = jnp.cross(pw0, w0n)
+        sin_r = jnp.sqrt(jnp.maximum(dot(axis, axis), 0.0))
+        safe = sin_r > 1e-7
+        k_hat = axis / jnp.maximum(sin_r, 1e-7)[..., None]
+        kdv = dot(k_hat, pw1)
+        cx = jnp.cross(k_hat, pw1)
+        w1n = jnp.where(
+            safe[..., None],
+            pw1 * cos_r[..., None] + cx * sin_r[..., None]
+            + k_hat * (kdv * (1.0 - cos_r))[..., None],
+            pw1)
+        # shifted-plane intersection with the offset ray
+        e0n = w0n * pl0[..., None]
+        e1n = w1n * pl1[..., None]
+        Pvn = jnp.cross(sd_i, e1n)
+        detn = dot(e0n, Pvn)
+        okn = jnp.abs(detn) > 1e-7
+        invn = jnp.where(okn, 1.0 / jnp.where(detn == 0, 1.0, detn), 0.0)
+        Tn = so_i - org_n
+        u0n = dot(Tn, Pvn) * invn
+        Qn = jnp.cross(Tn, e0n)
+        u1n = dot(sd_i, Qn) * invn
+        tcn = dot(e1n, Qn) * invn
+        ok_i = (okm & okb & okn & svalid[i][sq]
+                & (u0n >= 0.0) & (u0n <= 1.0)
+                & (u1n >= 0.0) & (u1n <= 1.0)
+                & (tcn > 1e-5) & (tcn < slen_i)
+                & ~border_lane[i][sq])
+        t0i = u0n * pl0
+        t1i = u1n * pl1
+        tr_cn = jnp.exp(-st_q * tcn[..., None])
+        pf_n = pl.phase_params(-dot(w1n, sd_i), g_q, pt_q)
+        tr0n = jnp.exp(-st_q * t0i[..., None])
+        tr1n = jnp.exp(-st_q * t1i[..., None])
+        surv0n = est.survival_prob(scene, miq, t0i)
+        surv1n = jnp.exp(-psig * t1i)
+        jac_n = jnp.abs(dot(w0n, jnp.cross(w1n, sd_i)))
+        wgt_n = (tr_cn * tr0n * tr1n * sg_q * sg_q
+                 * (pf_n / (jnp.maximum(surv0n, 1e-9)
+                            * jnp.maximum(surv1n, 1e-9)
+                            * jnp.maximum(jac_n, 1e-6)))[..., None])
+        c_me = pal * ar * wgt_n * sthr_i
+        pr_me = (pr_ch * (surv0n / jnp.maximum(surv0, 1e-9))
+                 * (surv1n / jnp.maximum(surv1, 1e-9))
+                 * (jac / jnp.maximum(jac_n, 1e-6))
+                 * (t0 * t1) / jnp.maximum(t0i * t1i, 1e-12))
+        wmi = jnp.where(ok_i,
+                        1.0 / (1.0 + jnp.clip(pr_me * sens[i][sq],
+                                              0.0, 1e12)), 1.0)
+        S = S.at[i, sq].add(
+            jnp.where(ok_i[..., None], wmi[..., None] * c_me, 0.0))
+        W = W.at[i, sq].add(
+            jnp.where(ok_i[..., None], (wmi - 1.0)[..., None]
+                      * c_base_pair, 0.0))
+        shok = shok + jnp.sum(ok_i)
+    return S, W, shok, att

@@ -318,7 +318,8 @@ def assemble_gradients(primal_px, S_px, W_px, H, W_img):
 
 def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                  photons, beams, k_cam, k_gather, px, py, border,
-                 surf_scale, vol_scale, r_vol_base, emission_scale=1.0):
+                 surf_scale, vol_scale, r_vol_base, emission_scale=1.0,
+                 defer_beams=False):
     """The per-pixel-block gradient pass core: camera traces (base + 4
     offsets), surface + volume gathers with shifts. Returns flat
     (primal [n,3], S [4,n,3], W [4,n,3], stats) for the given pixel
@@ -393,11 +394,10 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
                     depth=cd.depth, gid=gid)
 
     # ---- surface (dense planar path, gradient_gather.py) ----
-    # pack ONCE over the slot array (one-hot table lookups keep it off
-    # the per-index gather path), then build_sorted permutes only the
-    # grid_*_rows-capped row range per grid (sorted_idx is sliced
-    # before the payload gather — the S*P slot array is ~80% RR-killed
-    # padding at paper scale)
+    # grid build sorts ROW INDICES only; the packed row table is built
+    # AFTER the grid_*_rows cap on the selected rows (round-5: packing
+    # the full S*P slot array first materialized a [4.7M, 128] = 2.4 GB
+    # temp at paper scale — ~80% RR-killed padding)
     gbudget = cfg.gather_budget or None
     windowed = cfg.gather_driver in ("window", "cull", "pallas")
     r_surf = base.radius * surf_scale
@@ -408,13 +408,21 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
     cmul = 1.0 if cfg.gather_driver in ("cull", "pallas") else 2.0
     cell = cmul * jnp.maximum(
         jnp.max(jnp.where(base.valid, r_surf, 0.0)), 1e-5)
-    packed = gradient_gather.pack_photons(
-        scene, photons, valid=(photons["vtype"] != ptracer.VERT_NONE))
+
+    def pack_rows(sel):
+        ph = {f: v[sel] for f, v in photons.items()}
+        return gradient_gather.pack_photons(
+            scene, ph, valid=(ph["vtype"] != ptracer.VERT_NONE))
+
+    rowid = jnp.arange(pp.shape[0], dtype=jnp.int32)
     if windowed:
-        grid_s, packed_s = cellgrid.build_cells(
+        grid_s, sel_s = cellgrid.build_cells(
             pp, surf_valid, scene.world_lo, scene.world_hi, cell,
-            cfg.grid_dims, packed, max_rows=cfg.grid_surface_rows)
+            cfg.grid_dims, rowid, max_rows=cfg.grid_surface_rows)
+        packed_s = pack_rows(sel_s)
     else:
+        packed = gradient_gather.pack_photons(
+            scene, photons, valid=(photons["vtype"] != ptracer.VERT_NONE))
         grid_s, packed_s = hashgrid.build_sorted(
             pp, surf_valid, scene.world_lo, cell, packed,
             hash_size=cfg.grid_hash_size, max_rows=cfg.grid_surface_rows)
@@ -441,13 +449,17 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         if windowed and volume == "distance":
             # BRE stays on the hash grid: its cylinder-step membership
             # needs the 27-stencil exact-cell mode
-            grid_v, packed_v = cellgrid.build_cells(
+            grid_v, sel_v = cellgrid.build_cells(
                 pp, med_valid, scene.medium_lo, scene.medium_hi,
-                cmul * r_vol, cfg.grid_dims, packed,
+                cmul * r_vol, cfg.grid_dims, rowid,
                 max_rows=cfg.grid_volume_rows)
+            packed_v = pack_rows(sel_v)
         else:
+            packed_full = gradient_gather.pack_photons(
+                scene, photons,
+                valid=(photons["vtype"] != ptracer.VERT_NONE))
             grid_v, packed_v = hashgrid.build_sorted(
-                pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed,
+                pp, med_valid, scene.medium_lo, 2.0 * r_vol, packed_full,
                 hash_size=cfg.grid_hash_size,
                 max_rows=cfg.grid_volume_rows)
 
@@ -503,10 +515,16 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
         W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
 
-    # ---- volume photon beams 1D: pairwise reconnection shift ----
-    # (shiftBeamDiffuse, shift_volume_beams.h:408-457; identity/null
-    # fallback for non-reconnectable beam origins, shiftNull3D)
-    elif volume == "beam1d":
+    # ---- volume photon beams 1D/3D + photon planes 0D ----
+    # beam1d: pairwise reconnection shift (shiftBeamDiffuse,
+    # shift_volume_beams.h:408-457; shiftNull3D identity fallback);
+    # plane0d: medium-rotation shift (shift_medium.h:39).
+    # defer_beams=True stashes the compacted segment/beam state instead
+    # of gathering: the host driver then dispatches one bounded jit per
+    # segment chunk (render_pass_hosted) — the round-5 fix for the
+    # beam/plane full-scale TPU faults (one monolithic dispatch of the
+    # whole pair sweep).
+    elif volume in ("beam1d", "beam3d", "plane0d"):
         r_b = r_vol_base * vol_scale
         cb = flat_cb(cam_beams)
         scb_list = [flat_cb(c) for c in scbs]
@@ -518,91 +536,53 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         scb_list = [{kk: vv[order] for kk, vv in s.items()}
                     for s in scb_list]
         lane = lane_full[order]
+        if volume == "plane0d":
+            cb["pixel"] = lane
         border_lane = jnp.stack([border[i][lane] for i in range(4)])
+        lb = (estimators.make_planes(scene, beams, k_gather)
+              if volume == "plane0d" else beams)
 
-        p_v, S_v, W_v, v_v, so_v, md_v = gradient_gather.segment_chunked(
-            gradient_gather.beam_gradient_gather, scene, cb, scb_list,
-            border_lane, cfg.beam_seg_tile, lb=beams,
-            n_emitted=n_photons, r_beam=r_b, tile=cfg.beam_tile,
-            use_manifold=cfg.use_manifold,
-            me_budget=cfg.me_pair_budget, pv_chain=photons)
-        visits = visits + jnp.sum(v_v)
-        shift_ok = shift_ok + jnp.sum(so_v)
-        me_dropped = me_dropped + md_v
+        if defer_beams:
+            pending = dict(cb=cb, scb=scb_list, lane=lane,
+                           border_lane=border_lane, lb=lb,
+                           r_b=jnp.asarray(r_b, jnp.float32),
+                           key=k_gather)
+            if cfg.use_manifold:
+                pending["pv_chain"] = photons
+        else:
+            if volume == "beam1d":
+                res = gradient_gather.segment_chunked(
+                    gradient_gather.beam_gradient_gather, scene, cb,
+                    scb_list, border_lane, cfg.beam_seg_tile, lb=lb,
+                    n_emitted=n_photons, r_beam=r_b, tile=cfg.beam_tile,
+                    use_manifold=cfg.use_manifold,
+                    me_budget=cfg.me_pair_budget, pv_chain=photons)
+            elif volume == "beam3d":
+                res = gradient_gather.segment_chunked(
+                    gradient_gather.beam3d_gradient_gather, scene, cb,
+                    scb_list, border_lane, cfg.beam_seg_tile,
+                    key=k_gather, lb=lb, n_emitted=n_photons,
+                    r_beam=r_b, n_samples=cfg.volume_samples,
+                    tile=cfg.beam_tile, use_manifold=cfg.use_manifold,
+                    me_budget=cfg.me_pair_budget, pv_chain=photons)
+            else:
+                res = gradient_gather.segment_chunked(
+                    gradient_gather.plane_gradient_gather, scene, cb,
+                    scb_list, border_lane, cfg.beam_seg_tile, planes=lb,
+                    n_emitted=n_photons, tile=cfg.beam_tile,
+                    use_manifold=cfg.use_manifold,
+                    me_budget=cfg.me_pair_budget, pv_chain=photons)
+            p_v, S_v, W_v, v_v, so_v, md_v = res
+            visits = visits + jnp.sum(v_v)
+            shift_ok = shift_ok + jnp.sum(so_v)
+            me_dropped = me_dropped + md_v
 
-        def to_px(a):
-            out = jnp.zeros((n, 3))
-            return out.at[lane].add(a, mode="drop")
-        p_s = p_s + to_px(p_v)
-        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
-        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
-
-    # ---- volume (photon beams 3D, photon planes 0D) ----
-    # ---- photon planes 0D: medium-rotation shift (shift_medium.h:39),
-    # identity/null fallback for non-reconnectable plane origins ----
-    elif volume == "beam3d":
-        r_b = r_vol_base * vol_scale
-        cb = flat_cb(cam_beams)
-        scb_list = [flat_cb(c) for c in scbs]
-        n_steps = cam_beams.valid.shape[0]
-        lane_full = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
-        budget = min(cb["valid"].shape[0], n * cfg.vol_segments_per_pixel)
-        order = jnp.argsort(~cb["valid"])[:budget]
-        cb = {kk: vv[order] for kk, vv in cb.items()}
-        scb_list = [{kk: vv[order] for kk, vv in s.items()}
-                    for s in scb_list]
-        lane = lane_full[order]
-        border_lane = jnp.stack([border[i][lane] for i in range(4)])
-
-        p_v, S_v, W_v, v_v, so_v, md_v = gradient_gather.segment_chunked(
-            gradient_gather.beam3d_gradient_gather, scene, cb, scb_list,
-            border_lane, cfg.beam_seg_tile, key=k_gather, lb=beams,
-            n_emitted=n_photons, r_beam=r_b,
-            n_samples=cfg.volume_samples, tile=cfg.beam_tile,
-            use_manifold=cfg.use_manifold,
-            me_budget=cfg.me_pair_budget, pv_chain=photons)
-        visits = visits + jnp.sum(v_v)
-        shift_ok = shift_ok + jnp.sum(so_v)
-        me_dropped = me_dropped + md_v
-
-        def to_px(a):
-            out = jnp.zeros((n, 3))
-            return out.at[lane].add(a, mode="drop")
-        p_s = p_s + to_px(p_v)
-        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
-        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
-
-    elif volume == "plane0d":
-        r_b = r_vol_base * vol_scale
-        cb = flat_cb(cam_beams)
-        scb_list = [flat_cb(c) for c in scbs]
-        n_steps = cam_beams.valid.shape[0]
-        lane_full = jnp.tile(jnp.arange(n, dtype=jnp.int32), n_steps)
-        # compact valid medium segments first (fixed per-pixel budget)
-        budget = min(cb["valid"].shape[0], n * cfg.vol_segments_per_pixel)
-        order = jnp.argsort(~cb["valid"])[:budget]
-        cb = {kk: vv[order] for kk, vv in cb.items()}
-        scb_list = [{kk: vv[order] for kk, vv in s.items()}
-                    for s in scb_list]
-        lane = lane_full[order]
-        cb["pixel"] = lane
-        border_lane = jnp.stack([border[i][lane] for i in range(4)])
-
-        planes = estimators.make_planes(scene, beams, k_gather)
-        p_v, S_v, W_v, v_v, so_v, md_v = gradient_gather.segment_chunked(
-            gradient_gather.plane_gradient_gather, scene, cb, scb_list,
-            border_lane, cfg.beam_seg_tile, planes=planes,
-            n_emitted=n_photons, tile=cfg.beam_tile)
-        visits = visits + jnp.sum(v_v)
-        shift_ok = shift_ok + jnp.sum(so_v)
-        me_dropped = me_dropped + md_v
-
-        def to_px(a):
-            out = jnp.zeros((n, 3))
-            return out.at[lane].add(a, mode="drop")
-        p_s = p_s + to_px(p_v)
-        S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
-        W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
+            def to_px(a):
+                out = jnp.zeros((n, 3))
+                return out.at[lane].add(a, mode="drop")
+            p_s = p_s + to_px(p_v)
+            S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
+            W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
 
     # ---- directly-seen emission (directTracing, gvpm.cpp:1231-1240) ----
     # emission_scale: photon-INDEPENDENT term — ring-pass callers add
@@ -615,10 +595,12 @@ def pass_buffers(scene: Scene, cfg: GradientConfig, volume, n_photons,
         S_s = S_s.at[i].add(w * em_ok)
         W_s = W_s.at[i].add(w * base.emission)
 
-    return p_s, S_s, W_s, dict(visits=visits, shift_ok=shift_ok,
-                               win_dropped=win_dropped,
-                               k_overflow=k_overflow,
-                               me_dropped=me_dropped)
+    stats = dict(visits=visits, shift_ok=shift_ok,
+                 win_dropped=win_dropped, k_overflow=k_overflow,
+                 me_dropped=me_dropped)
+    if defer_beams:
+        stats["pending"] = pending
+    return p_s, S_s, W_s, stats
 
 
 def _reject_heterogeneous(scene: Scene):
@@ -638,14 +620,14 @@ def _reject_heterogeneous(scene: Scene):
             "the primal integrators (volpath/sppm) instead.")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
-def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
-                seed, it, surf_scale, vol_scale, r_vol_base):
-    """One gradient pass. Returns (primal, gx, gy, stats): images
-    [H,W,3] plus stats = {visits, shift_ok}: the number of real photon
-    visits (candidates passing the kernel test — the honest bench
-    denominator) and of successful reconnection shifts (the reference's
-    per-pass shift success StatsCounter, shift_volume_photon.cpp:40-47)."""
+BEAM_VOLUMES = ("beam1d", "beam3d", "plane0d")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons",
+                                             "defer_beams"))
+def _render_pass_jit(scene: Scene, cfg: GradientConfig, volume, n_photons,
+                     seed, it, surf_scale, vol_scale, r_vol_base,
+                     defer_beams=False):
     _reject_heterogeneous(scene)
     H, W = scene.height, scene.width
     k_cam = rng.pass_key(seed, it, rng.STREAM_CAMERA)
@@ -662,9 +644,125 @@ def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
     photons, beams = sppm.shoot_photons(scene, cfg, n_photons, k_light)
     p_s, S_s, W_s, stats = pass_buffers(
         scene, cfg, volume, n_photons, photons, beams, k_cam, k_gather,
-        px, py, border, surf_scale, vol_scale, r_vol_base)
+        px, py, border, surf_scale, vol_scale, r_vol_base,
+        defer_beams=defer_beams)
+    if defer_beams:
+        return p_s, S_s, W_s, stats
     primal, gx, gy = assemble_gradients(p_s, S_s, W_s, H, W)
     return primal, gx, gy, stats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "volume", "n_photons"))
+def _beam_chunk(scene: Scene, cfg: GradientConfig, volume, n_photons,
+                lb, cbc, scbc, blc, r_b, key, pv_chain):
+    """One bounded segment-chunk dispatch of a beam/plane gather."""
+    if volume == "beam1d":
+        return gradient_gather.beam_gradient_gather(
+            scene, cbc, scbc, lb, n_photons, r_b, blc,
+            tile=cfg.beam_tile, use_manifold=cfg.use_manifold,
+            me_budget=cfg.me_pair_budget, pv_chain=pv_chain)
+    if volume == "beam3d":
+        return gradient_gather.beam3d_gradient_gather(
+            scene, cbc, scbc, lb, n_photons, r_b, key, blc,
+            n_samples=cfg.volume_samples, tile=cfg.beam_tile,
+            use_manifold=cfg.use_manifold,
+            me_budget=cfg.me_pair_budget, pv_chain=pv_chain)
+    return gradient_gather.plane_gradient_gather(
+        scene, cbc, scbc, lb, n_photons, blc, tile=cfg.beam_tile,
+        use_manifold=cfg.use_manifold, me_budget=cfg.me_pair_budget,
+        pv_chain=pv_chain)
+
+
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def _beam_combine(p_s, S_s, W_s, pr, S_v, W_v, lane, H, W):
+    n = p_s.shape[0]
+
+    def to_px(a):
+        out = jnp.zeros((n, 3))
+        return out.at[lane].add(a, mode="drop")
+
+    p_s = p_s + to_px(pr)
+    S_s = S_s + jnp.stack([to_px(S_v[i]) for i in range(4)])
+    W_s = W_s + jnp.stack([to_px(W_v[i]) for i in range(4)])
+    return assemble_gradients(p_s, S_s, W_s, H, W)
+
+
+def render_pass_hosted(scene: Scene, cfg: GradientConfig, volume,
+                       n_photons, seed, it, surf_scale, vol_scale,
+                       r_vol_base):
+    """Beam/plane gradient pass with HOST-dispatched segment chunks.
+
+    The fused pass ran the whole [segments x beams] pair sweep (all
+    chunks, all 4 shifts) as ONE device dispatch; at paper scale that
+    single program faulted the TPU worker (BENCH_r04). Here the head
+    (shoot + camera traces + surface gather + segment compaction) is
+    one jit, then each segment chunk is its own bounded dispatch of a
+    single compiled program — same math, same totals, dozens of
+    seconds-long dispatches instead of one multi-minute one.
+    """
+    H, W = scene.height, scene.width
+    p_s, S_s, W_s, stats = _render_pass_jit(
+        scene, cfg, volume, n_photons, seed, it, surf_scale, vol_scale,
+        r_vol_base, defer_beams=True)
+    pend = stats.pop("pending")
+    cb, scb, lane = pend["cb"], pend["scb"], pend["lane"]
+    bl, lb, r_b = pend["border_lane"], pend["lb"], pend["r_b"]
+    pvc = pend.get("pv_chain")
+    m = cb["o"].shape[0]
+    st_sz = min(cfg.beam_seg_tile or m, m)
+    n_chunks = -(-m // st_sz)
+    pad = n_chunks * st_sz - m
+
+    def ck(a):
+        a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a.reshape((n_chunks, st_sz) + a.shape[1:])
+
+    cbc = {k: ck(v) for k, v in cb.items()}
+    scbc = [{k: ck(v) for k, v in s.items()} for s in scb]
+    blc = ck(jnp.moveaxis(bl, 0, 1))
+    prs, Ss, Ws = [], [], []
+    v_t = sk_t = md_t = None
+    for ci in range(n_chunks):
+        cb_i = {k: v[ci] for k, v in cbc.items()}
+        scb_i = [{k: v[ci] for k, v in s.items()} for s in scbc]
+        bl_i = jnp.moveaxis(blc[ci], -1, 0)
+        key_i = jax.random.fold_in(pend["key"], ci)
+        pr, S_v, W_v, vv, sk, md = _beam_chunk(
+            scene, cfg, volume, n_photons, lb, cb_i, scb_i, bl_i, r_b,
+            key_i, pvc)
+        prs.append(pr)
+        Ss.append(S_v)
+        Ws.append(W_v)
+        v_t = vv if v_t is None else v_t + vv
+        sk_t = sk if sk_t is None else sk_t + sk
+        md_t = md if md_t is None else md_t + md
+    pr = jnp.concatenate(prs)[:m]
+    S_v = jnp.concatenate(Ss, axis=1)[:, :m]
+    W_v = jnp.concatenate(Ws, axis=1)[:, :m]
+    primal, gx, gy = _beam_combine(p_s, S_s, W_s, pr, S_v, W_v, lane,
+                                   H, W)
+    stats["visits"] = stats["visits"] + v_t
+    stats["shift_ok"] = stats["shift_ok"] + sk_t
+    stats["me_dropped"] = stats["me_dropped"] + md_t
+    return primal, gx, gy, stats
+
+
+def render_pass(scene: Scene, cfg: GradientConfig, volume, n_photons,
+                seed, it, surf_scale, vol_scale, r_vol_base):
+    """One gradient pass. Returns (primal, gx, gy, stats): images
+    [H,W,3] plus stats = {visits, shift_ok}: the number of real photon
+    visits (candidates passing the kernel test — the honest bench
+    denominator) and of successful reconnection shifts (the reference's
+    per-pass shift success StatsCounter, shift_volume_photon.cpp:40-47).
+
+    Beam/plane volumes dispatch per segment chunk from the host (see
+    render_pass_hosted); point/BRE volumes run as one fused jit."""
+    if (volume in BEAM_VOLUMES and cfg.beam_dispatch == "host"
+            and cfg.beam_seg_tile):
+        return render_pass_hosted(scene, cfg, volume, n_photons, seed,
+                                  it, surf_scale, vol_scale, r_vol_base)
+    return _render_pass_jit(scene, cfg, volume, n_photons, seed, it,
+                            surf_scale, vol_scale, r_vol_base)
 
 
 def render(scene: Scene, cfg: GradientConfig = GradientConfig(),

@@ -304,16 +304,17 @@ def _fresnel_diel(cos_i, eta):
     return jnp.where(tir, 1.0, 0.5 * (r_s * r_s + r_p * r_p))
 
 
-def _retrace(scene: Scene, ch, w1):
+def _retrace(scene: Scene, ch, w1, want_pos=False):
     """Trace the delta chain of one photon from its anchor along w1.
     ch: per-lane chain pytree (vmapped by callers); returns (exit_p,
-    exit_d, ok, fres[K], cos_i[K], seg_len[K])."""
+    exit_d, ok, fres[K], cos_i[K], seg_len[K][, pos[K,3]])."""
     p = ch["anchor_p"]
     d = w1
     ok = jnp.array(True)
     fres = []
     coss = []
     lens = []
+    poss = []
     for j in range(K_MAX):
         live = j < ch["k"]
         t, n, hok = _prim_hit(scene, ch["prim"][j], p, d, ch["enter"][j])
@@ -328,7 +329,63 @@ def _retrace(scene: Scene, ch, w1):
         lens.append(jnp.where(live, t, 0.0))
         p = jnp.where(live, p_new, p)
         d = jnp.where(live, d_new, d)
-    return p, d, ok, jnp.stack(fres), jnp.stack(coss), jnp.stack(lens)
+        poss.append(p)
+    out = (p, d, ok, jnp.stack(fres), jnp.stack(coss), jnp.stack(lens))
+    if want_pos:
+        out = out + (jnp.stack(poss),)
+    return out
+
+
+# --------------------------------------------------------------------------
+# occlusion of the shifted chain (VERDICT r4 missing #4)
+# --------------------------------------------------------------------------
+
+def _occluded_non_null(scene: Scene, a, b, eps=2e-3):
+    """Shadow test a->b that looks THROUGH null-BSDF boundaries (medium
+    hulls): up to two null crossings are skipped per segment, matching
+    evalTransmittance's null-passthrough semantics (scene.cpp)."""
+    from ..scene.intersect import intersect as _intersect
+    from ..scene.types import BSDF_NULL
+    seg = b - a
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(seg * seg, axis=-1), 1e-20))
+    d = seg / dist[:, None]
+    o = a + d * (eps * dist)[:, None]
+    t_rem = dist * (1.0 - 2.0 * eps)
+    blocked = jnp.zeros(dist.shape, bool)
+    for _ in range(3):
+        hit = _intersect(scene, o, d, t_max=t_rem)
+        bi = jnp.clip(scene.prim_bsdf(hit.prim), 0,
+                      scene.bsdf_type.shape[0] - 1)
+        is_null = scene.bsdf_type[bi] == BSDF_NULL
+        blocked = blocked | (hit.valid & ~is_null)
+        adv = jnp.where(hit.valid & is_null,
+                        hit.t + eps * dist, t_rem)
+        o = o + d * adv[:, None]
+        t_rem = jnp.maximum(t_rem - adv, 0.0)
+    return blocked
+
+
+def chain_occluded(scene: Scene, ch, w1_new, end_p):
+    """One occlusion sweep over the SHIFTED chain segments at the Newton
+    solution. The reference's manifold walk ray-traces every iteration
+    and rejects occluded proposals (manifold.cpp, mut_manifold.cpp:1310);
+    the TPU walk re-hits only the stored chain primitives, so without
+    this a shifted chain passing through a blocker was silently
+    accepted. Returns blocked [L]."""
+    _, _, _, _, _, _, poss = jax.vmap(
+        lambda chl, w: _retrace(scene, chl, w, want_pos=True))(
+        _lanes(ch), w1_new)                       # poss: [L, K, 3]
+    L = w1_new.shape[0]
+    starts = jnp.concatenate([ch["anchor_p"][:, None], poss], axis=1)
+    ends_d = jnp.concatenate([poss, poss[:, -1:]], axis=1)
+    jj = jnp.arange(K_MAX + 1)[None, :]
+    k = ch["k"][:, None]
+    ends = jnp.where((jj == k)[..., None], end_p[:, None], ends_d)
+    live = jj <= k                                # segments 0..k
+    blocked_seg = _occluded_non_null(
+        scene, starts.reshape(-1, 3), ends.reshape(-1, 3))
+    blocked_seg = blocked_seg.reshape(L, K_MAX + 1) & live
+    return jnp.any(blocked_seg, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -450,6 +507,7 @@ def me_shift_volume(scene: Scene, ch, c_target, n_iters=5,
     ok = (ch["ok"] & conv & ok_b & ok_an
           & (ch["pdf_dir_base"] > 1e-20) & (pdf_new > 0.0)
           & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
+    ok = ok & ~chain_occluded(scene, ch, w1_new, c_target)
     return (jnp.where(ok[..., None], alpha_ratio, 0.0),
             jnp.where(ok, pdf_ratio, 0.0), ok, wi_new)
 
@@ -558,6 +616,9 @@ def me_shift_beam(scene: Scene, ch, y_target, n_iters=5,
           & (ch["pdf_dir_base"] > 1e-20) & (pdf_new > 0.0)
           & (t_off > 1e-5)
           & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
+    # occlusion of the shifted CHAIN (anchor -> ... -> A'); the beam
+    # segment A' -> y' itself is re-evaluated by the beam estimator
+    ok = ok & ~chain_occluded(scene, ch, w1_new, org_new)
     return (org_new, dir_new, t_off,
             jnp.where(ok[..., None], alpha_ratio, 0.0),
             jnp.where(ok, pdf_ratio, 0.0), ok)
@@ -696,5 +757,6 @@ def me_shift_surface(scene: Scene, ch, photon_prim, photon_ns,
     ok = (ch["ok"] & conv & ok_b & ok_an
           & (ch["pdf_dir_base"] > 1e-20) & (pdf_new > 0.0)
           & (rho_off > FOLD_EPS * t2) & (rho_base > FOLD_EPS * t2b))
+    ok = ok & ~chain_occluded(scene, ch, w1_new, c_target)
     return (jnp.where(ok[..., None], alpha_ratio, 0.0),
             jnp.where(ok, pdf_ratio, 0.0), ok, wi_new)

@@ -408,5 +408,7 @@ def parent_scatter_params(ptype, pwi, pns, bparams, mparams, w_new):
     sg = pick(sc_em, sig[1] * pv, fg * acos)
     sb = pick(sc_em, sig[2] * pv, fb * acos)
     pdf = pick(pdf_em, pv, pdf_b)
-    ok = jnp.where(is_em, cos_e > 1e-6, True)
+    # pure logical form (a bool-valued where lowers to an i8->i1
+    # truncation Mosaic rejects)
+    ok = (~is_em) | (cos_e > 1e-6)
     return sr, sg, sb, pdf, ok

@@ -155,6 +155,7 @@ def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
             win, sem, *, eval_fn, q_slots, row_slots, n_add, W, me,
             interpret):
     Qt = q_ref.shape[0]
+    ti = pl.program_id(0)
     qv = QView(q_ref, q_slots)
     acc = jnp.zeros((Qt, n_add), jnp.float32)
     me_key = jnp.full((Qt, 1), BIG_F, jnp.float32)
@@ -163,13 +164,13 @@ def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
 
     def dma(slot, r):
         return pltpu.make_async_copy(
-            tbl_ref.at[:, pl.ds(lo_ref[0, r], W)],
+            tbl_ref.at[:, pl.ds(lo_ref[ti, r], W)],
             win.at[slot], sem.at[slot])
 
     if not interpret:
         dma(0, 0).start()
     for r in range(N_RUNS):
-        lo = lo_ref[0, r]
+        lo = lo_ref[ti, r]
         if interpret:
             rows = tbl_ref[:, pl.ds(lo, W)]
         else:
@@ -193,13 +194,15 @@ def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
         add, mk = eval_fn(qv, wv, ok, scale, par_ref, absrow)
         acc = acc + add
         # window-clipped rows per query (compensated), in the last col
-        acc = acc.at[:, n_add - 1:n_add].add(dropped)
+        # (kept as its own accumulator: Mosaic has no scatter-add)
+        drop_acc = dropped if r == 0 else drop_acc + dropped
         if me and mk is not None:
             key_r, scale_r = mk
             better = key_r < me_key
             me_key = jnp.where(better, key_r, me_key)
             me_scale = jnp.where(better, scale_r, me_scale)
     out_ref[:, :n_add] = acc
+    out_ref[:, n_add - 1:n_add] = drop_acc
     if me:
         out_ref[:, n_add:n_add + 1] = me_key
         out_ref[:, n_add + 1:n_add + 2] = me_scale
@@ -225,30 +228,35 @@ def fused_gather(planv, table_T, qrows, params, eval_fn, n_add,
     kern = functools.partial(
         _kernel, eval_fn=eval_fn, q_slots=q_slots, row_slots=row_slots,
         n_add=n_add, W=W, me=me, interpret=interpret)
-    out = pl.pallas_call(
-        kern,
+    # `lo` rides the scalar-prefetch slot (whole array in SMEM, indexed
+    # by program_id) — a (1, R) SMEM block would violate Mosaic's
+    # (8, 128)-divisible block rule
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, N_RUNS), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((Qt, 2 * N_RUNS), lambda i: (i, 0),
+            pl.BlockSpec((Qt, 2 * N_RUNS), lambda i, lo: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qt, 1), lambda i: (i, 0),
+            pl.BlockSpec((Qt, 1), lambda i, lo: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Qt, qrows.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((Qt, qrows.shape[1]), lambda i, lo: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0),
+            pl.BlockSpec((1, 8), lambda i, lo: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((Qt, n_out), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((Qt, n_out), lambda i, lo: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * Qt, n_out),
-                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, F, W), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * Qt, n_out),
+                                       jnp.float32),
         interpret=interpret,
     )(planv["lo"], rr, vq2, qrows, params, table_T)
     return out

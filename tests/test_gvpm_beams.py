@@ -41,3 +41,57 @@ def test_beam_plane_gradients_match_fd(volume):
     # unbiasedness ballpark: mean |g| comparable to mean |fd|
     assert 0.3 < (np.abs(gx[:, :-1]).mean()
                   / max(np.abs(fdx).mean(), 1e-9)) < 3.0
+
+
+def test_plane_me_delta_chain():
+    """plane0d ME branch (shift_volume_planes.h:57 dispatching through
+    the manifold machinery, shift_medium.h:39): on a scene whose beams
+    originate from a mirror bounce, delta-origin planes must take the
+    ME shift (not the identity fallback), stay finite, and keep the
+    FD-gradient correlation."""
+    from tests.test_manifold import mirror_scene
+    from gvpm_tpu.integrators import sppm as _sppm
+    scene = mirror_scene()
+    cfg = GradientConfig(**{**CFG.__dict__, "use_manifold": True,
+                            "beams": 4096})
+    r_vol = _sppm.base_volume_radius(scene, cfg)
+    p, gx, gy, st = gvpm.render_pass(scene, cfg, "plane0d", 8192,
+                                     3, 1, 1.0, 1.0, r_vol)
+    p, gx, gy = np.asarray(p), np.asarray(gx), np.asarray(gy)
+    assert np.isfinite(p).all() and np.isfinite(gx).all() \
+        and np.isfinite(gy).all()
+    assert p.mean() > 0
+    # the mirror scene stores delta-origin beams -> planes; the ME
+    # stage must attempt them (attempted pairs = collected - dropped
+    # >= 0 means the stage ran; require at least one successful shift
+    # beyond what use_manifold=False produces)
+    cfg0 = GradientConfig(**{**CFG.__dict__, "use_manifold": False,
+                             "beams": 4096})
+    _, _, _, st0 = gvpm.render_pass(scene, cfg0, "plane0d", 8192,
+                                    3, 1, 1.0, 1.0, r_vol)
+    assert int(st["shift_ok"]) > int(st0["shift_ok"]), \
+        "plane ME shifts should add successful shifts"
+
+
+def test_hosted_chunks_match_fused():
+    """Host-dispatched segment chunks (beam_dispatch='host', the r5
+    full-scale fault fix) must reproduce the fused single-dispatch
+    sweep exactly — same chunk shapes, same math, only the dispatch
+    boundary moves. beam1d is deterministic given the pass key, so the
+    images must agree to float tolerance."""
+    from gvpm_tpu.integrators import sppm as _sppm
+    scene = make_box_scene(w=8, h=8)
+    n_photons = 4096
+    r_vol = _sppm.base_volume_radius(scene, CFG)
+    outs = {}
+    for disp in ("fused", "host"):
+        cfg = GradientConfig(**{**CFG.__dict__,
+                                "beam_dispatch": disp,
+                                "beam_seg_tile": 32})
+        outs[disp] = gvpm.render_pass(scene, cfg, "beam1d", n_photons,
+                                      0, 1, 1.0, 1.0, r_vol)
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(outs["host"][k]),
+                                   np.asarray(outs["fused"][k]),
+                                   rtol=1e-5, atol=1e-7)
+    assert int(outs["host"][3]["visits"]) == int(outs["fused"][3]["visits"])

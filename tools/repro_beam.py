@@ -31,6 +31,7 @@ def main():
     beam_tile = int(sys.argv[4]) if len(sys.argv) > 4 else 256
     lp = int(sys.argv[5]) if len(sys.argv) > 5 else 18
     lb = int(sys.argv[6]) if len(sys.argv) > 6 else 14
+    iscale = float(sys.argv[7]) if len(sys.argv) > 7 else 1.0
     n_photons = 1 << lp
     beams = 1 << lb
 
@@ -38,7 +39,7 @@ def main():
         max_depth=12, null_bounces=6, max_cam_depth=6,
         surface_photons=n_photons, volume_photons=n_photons,
         grid_hash_size=1 << 20, volume_samples=1,
-        initial_scale_volume=0.8,
+        initial_scale_volume=0.8, initial_scale=iscale,
         grid_max_photons_per_cell=32, gather_q_tile=2048,
         vol_segments_per_pixel=1,
         grid_dims=(64, 64, 64), gather_window=2048,
