@@ -311,27 +311,28 @@ def main():
         cfg_me = GradientConfig(use_manifold=True, **base_kw)
         _try("distance_me", run_config, configs, scene, cfg_me,
              "distance", n_photons, r_vol, max(1, passes - 1))
-        # beam configs run HALF the camera-segment load: the full-scale
-        # beam3d program (64-chunk map over a 64-tile beam scan x 4
-        # shifts x 2 chord samples) faults the TPU worker — recorded
-        # honestly in configs[...]["config_note"] until the fault is
-        # root-caused
-        kw_b = dict(base_kw, beams=beams, vol_segments_per_pixel=1,
-                    volume_samples=1, beam_seg_tile=4096)
+        # Beam/plane techniques: FULL per-pixel workload (2 medium
+        # segments/pixel, 2 chord samples — no halving, VERDICT r4
+        # next #1) at paper photon/beam counts (2^18 paths, 16k beams
+        # ~ generatorGVPM.py's 2e4), dispatched per segment chunk from
+        # the host (gvpm.render_pass_hosted — the r5 fix for the r4
+        # single-dispatch worker faults). Film is 128^2: the pair sweep
+        # is O(segments x beams), so visits/s — the recorded rate — is
+        # film-size invariant, while a 512^2 sweep would take ~20 min
+        # per pass with the current dense enumeration (the sub-beam
+        # spatial cull is the open lever, see docs/PERF.md). The film
+        # size is recorded per config below.
+        side_b = 128 if on_tpu else side
+        scene_b = box_medium(width=side_b, height=side_b)
+        kw_b = dict(base_kw, beams=beams)
         cfg_b = GradientConfig(use_manifold=False, **kw_b)
-        r_b = sppm.base_volume_radius(scene, cfg_b)
-        # plane0d and beam1d run BEFORE beam3d: a beam3d worker fault
-        # would otherwise take the later configs down with it
-        _try("plane0d", run_config, configs, scene, cfg_b, "plane0d",
-             n_photons, r_b, max(1, passes - 1))
-        _try("beam1d", run_config, configs, scene, cfg_b, "beam1d",
-             n_photons, r_b, max(1, passes - 1))
-        _try("beam3d", run_config, configs, scene, cfg_b, "beam3d",
-             n_photons, r_b, max(1, passes - 1))
-        if isinstance(configs.get("beam3d"), dict) \
-                and "error" not in configs["beam3d"]:
-            configs["beam3d"]["config_note"] = \
-                "1 seg/pixel, 1 chord sample (see comment)"
+        r_b = sppm.base_volume_radius(scene_b, cfg_b)
+        for tech in ("plane0d", "beam1d", "beam3d"):
+            _try(tech, run_config, configs, scene_b, cfg_b, tech,
+                 n_photons, r_b, max(1, passes - 1))
+            if isinstance(configs.get(tech), dict) \
+                    and "error" not in configs[tech]:
+                configs[tech]["film"] = side_b
 
     # --- equal-time relMSE track (the reference's protocol) ---
     relmse_box = {}

@@ -248,7 +248,9 @@ def _reconnect_planar(scene: Scene, pre, new_p, target_is_volume):
         par_sf = pre["ptype"] == pl.VERT_SURFACE
         sign_ok = pl.dot3(pre["pns"], w_new) \
             * pl.dot3(pre["pns"], pre["w_old"]) > 0.0
-        ok_sc = ok_sc & jnp.where(par_sf, sign_ok, True)
+        # logical form, not where(cond, bool, True): a bool-valued
+        # where lowers to an i8->i1 truncation Mosaic rejects
+        ok_sc = ok_sc & ((~par_sf) | sign_ok)
 
     geo = pre["d2_old"] / d2_new * cos_ratio
     sc_old = pre["sc_old"]

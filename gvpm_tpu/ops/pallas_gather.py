@@ -120,6 +120,8 @@ def plan_windows(grid: CellGrid, x, q_valid, q_tile, window):
     n_cells = Nx * Ny * Nz
     P = grid.sorted_idx.shape[0]
     W = min(window, P)
+    if P >= 128:
+        W = max(128, (W // 128) * 128)   # aligned DMA slice size
     aid = anchor_ids27(grid, x)
     if q_valid is not None:
         aid = jnp.where(q_valid, aid, n_cells)
@@ -163,8 +165,11 @@ def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
     vq = vq_ref[:, 0:1] > 0
 
     def dma(slot, r):
+        # plan_windows 128-aligns window starts; multiple_of carries
+        # the proof to Mosaic's memref slicer
+        lo_a = pl.multiple_of(lo_ref[ti, r], 128)
         return pltpu.make_async_copy(
-            tbl_ref.at[:, pl.ds(lo_ref[ti, r], W)],
+            tbl_ref.at[:, pl.ds(lo_a, W)],
             win.at[slot], sem.at[slot])
 
     if not interpret:

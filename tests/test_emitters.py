@@ -35,8 +35,7 @@ def test_point_light_cross_integrator():
     m = float(jnp.mean(img))
     assert abs(float(jnp.mean(d_img)) / m - 1) < 0.15
     assert abs(float(jnp.mean(lt)) / m - 1) < 0.25
-
-
+@pytest.mark.slow
 def test_directional_light_analytic():
     """Directional light straight down on a diffuse floor:
     L = albedo/pi * E everywhere on the floor."""
@@ -139,8 +138,7 @@ def test_envmap_pdf_matches_sampler():
                           / jnp.maximum(s.light_group_p[2], 1e-20))
                  * 4.0 * jnp.pi)
     assert abs(mass - 1.0) < 0.02, mass
-
-
+@pytest.mark.slow
 def test_envmap_nee_matches_bsdf_sampling():
     """NEE importance sampling of the map agrees with BSDF-only
     sampling of the same scene (unbiasedness of pdf/CDF tables)."""

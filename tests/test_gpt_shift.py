@@ -43,8 +43,7 @@ def test_fd_correlation_and_scale(box12):
     # (a factor-2 error here is exactly the double-counted-MIS failure)
     a = (gx[:, :-1] * fdx).sum() / (gx[:, :-1] ** 2).sum()
     assert 0.6 < a < 1.6, a
-
-
+@pytest.mark.slow
 def test_beats_pss_identity_variance(box12):
     """Reconnection keeps offset paths correlated with the base path, so
     per-sample gradient variance must be well below the PSS identity
@@ -60,8 +59,7 @@ def test_beats_pss_identity_variance(box12):
     v_shift = np.stack(gs).var(axis=0).mean()
     v_pss = np.stack(gp).var(axis=0).mean()
     assert v_shift < v_pss / 2.0, (v_shift, v_pss)
-
-
+@pytest.mark.slow
 def test_render_wrapper_recon(box12):
     cfg = VolPathConfig(spp=6, max_depth=5)
     out = gpt_shift.render(box12, cfg, seed=7)

@@ -67,8 +67,7 @@ def _close(a, b, name, rtol=2e-4, atol=2e-6):
     a, b = np.asarray(a), np.asarray(b)
     assert np.isfinite(a).all() and np.isfinite(b).all(), name
     np.testing.assert_allclose(a, b, rtol=rtol, atol=atol, err_msg=name)
-
-
+@pytest.mark.slow
 def test_surface_dense_matches_fold(setup):
     s = setup
     pp = s["photons"]["p"]
@@ -97,8 +96,7 @@ def test_surface_dense_matches_fold(setup):
     _close(S0, S1, "S")
     _close(W0, W1, "W")
     assert int(jnp.sum(visits)) > 0
-
-
+@pytest.mark.slow
 def test_volume_dense_matches_fold(setup):
     s = setup
     pp = s["photons"]["p"]
@@ -123,8 +121,7 @@ def test_volume_dense_matches_fold(setup):
     _close(S0, S1, "S")
     _close(W0, W1, "W")
     assert int(jnp.sum(visits)) > 0
-
-
+@pytest.mark.slow
 def test_bre_dense_matches_fold(setup):
     s = setup
     pp = s["photons"]["p"]
@@ -149,8 +146,7 @@ def test_bre_dense_matches_fold(setup):
     _close(S0, S1, "S")
     _close(W0, W1, "W")
     assert int(jnp.sum(visits)) > 0
-
-
+@pytest.mark.slow
 def test_surface_window_matches_dense(setup):
     """cellgrid windowed driver == hashgrid dense driver (same photons,
     window large enough that nothing clips)."""
@@ -178,8 +174,7 @@ def test_surface_window_matches_dense(setup):
     _close(S0, S1, "S")
     _close(W0, W1, "W")
     assert int(jnp.sum(v0)) == int(jnp.sum(v1)) > 0
-
-
+@pytest.mark.slow
 def test_volume_window_matches_dense(setup):
     from gvpm_tpu.ops import cellgrid
     s = setup

@@ -4,6 +4,7 @@ test_kd.cpp test03_pointKDTree kNN-vs-bruteforce)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gvpm_tpu.ops import hashgrid
 
@@ -58,8 +59,7 @@ def test_no_double_count_on_hash_collisions():
     d2 = jnp.sum((pts[None] - q[:, None]) ** 2, axis=-1)
     cnt_bf = jnp.sum(d2 < r * r, axis=1)
     np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_bf))
-
-
+@pytest.mark.slow
 def test_dense_matches_fold():
     """With a budget that never binds, the prefix-compacted dense path
     must visit exactly the same photon set as the fold gather (and the

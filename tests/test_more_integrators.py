@@ -69,8 +69,7 @@ def test_vpl_matches_volpath(ref):
     assert jnp.isfinite(out["image"]).all()
     # VPL clamping loses some near-field energy: one-sided tolerance
     assert 0.6 < m / mref < 1.2, (m, mref)
-
-
+@pytest.mark.slow
 def test_bdpt_matches_volpath(ref):
     from gvpm_tpu.integrators import bdpt
     scene, mref = ref
@@ -90,8 +89,7 @@ def test_erpt_matches_volpath(ref):
     m = float(jnp.mean(img))
     assert jnp.isfinite(img).all()
     assert 0.7 < m / mref < 1.35, (m, mref)
-
-
+@pytest.mark.slow
 def test_pssmlt_matches_volpath(ref):
     scene, mref = ref
     cfg = VolPathConfig(spp=1, max_depth=5, null_bounces=2)

@@ -18,27 +18,27 @@ from gvpm_tpu.scenes import box_medium
 
 def _cfg(driver, **kw):
     return GradientConfig(
-        max_depth=5, null_bounces=2, max_cam_depth=4,
-        surface_photons=1 << 11, volume_photons=1 << 11,
+        max_depth=4, null_bounces=2, max_cam_depth=4,
+        surface_photons=1 << 10, volume_photons=1 << 10,
         grid_max_photons_per_cell=32, volume_samples=1,
         vol_segments_per_pixel=2,
         grid_dims=(16, 16, 16), gather_driver=driver,
         gather_budget=256, cull_k=128, window_q_tile=64,
         # window >= capped row count: no clipping, so the two drivers
         # must agree pair-for-pair (visits exactly equal)
-        grid_surface_rows=2048, grid_volume_rows=2048,
-        pallas_q_tile=64, pallas_window=2048,
+        grid_surface_rows=1024, grid_volume_rows=1024,
+        pallas_q_tile=64, pallas_window=1024,
         use_manifold=False, **kw)
 
 
 @pytest.fixture(scope="module")
 def passes():
-    scene = box_medium(width=24, height=24)
+    scene = box_medium(width=16, height=16)
     out = {}
     for driver in ("cull", "pallas"):
         cfg = _cfg(driver)
         r_vol = sppm.base_volume_radius(scene, cfg)
-        out[driver] = gvpm.render_pass(scene, cfg, "distance", 1 << 11,
+        out[driver] = gvpm.render_pass(scene, cfg, "distance", 1 << 10,
                                        0, 1, 1.0, 1.0, r_vol)
     return out
 

@@ -2,6 +2,7 @@
 (reference: src/sensors/thinlens.cpp, src/rfilters/*)."""
 
 import jax.numpy as jnp
+import pytest
 
 from gvpm_tpu.scene import SceneBuilder
 from gvpm_tpu.core.config import VolPathConfig
@@ -19,8 +20,7 @@ def _two_plane_scene(aperture):
     b.camera(origin=[0, 0.2, 0], target=[0, 0.2, 3.0], fov=40,
              aperture_radius=aperture, focus_distance=3.0)
     return b.build(width=24, height=24)
-
-
+@pytest.mark.slow
 def test_thinlens_blurs_out_of_focus():
     cfg = VolPathConfig(spp=12, max_depth=3, null_bounces=2)
     sharp = volpath.render(_two_plane_scene(0.0), cfg, seed=0)

@@ -13,6 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gvpm_tpu.core.config import GradientConfig
 from gvpm_tpu.integrators import gatherpoint, gradient_gather, sppm
@@ -57,8 +58,7 @@ def test_beam1d_zero_shift_identity():
     # and the weighted base must be >= half of primal only where pairs
     # succeeded; globally S <= primal (weights <= 1)
     assert (S.sum(axis=0) <= 4 * p + 1e-6).all()
-
-
+@pytest.mark.slow
 def test_beam3d_zero_shift_identity():
     scene, cb, beams, border, r_vol, k_g = _setup()
     p, S, W, visits, shok, _ = gradient_gather.beam3d_gradient_gather(
@@ -69,8 +69,7 @@ def test_beam3d_zero_shift_identity():
     assert int(visits) > 0
     assert int(shok) > 0
     np.testing.assert_allclose(S, W, rtol=1e-4, atol=1e-7)
-
-
+@pytest.mark.slow
 def test_plane0d_zero_shift_identity():
     from gvpm_tpu.integrators import estimators
     scene, cb, beams, border, r_vol, k_g = _setup()
