@@ -256,7 +256,61 @@ def relmse_track(side=128, budget_s=15.0, ref_spp=1024, ref_chunk=64):
     return res
 
 
+BEAM_FILM = 128
+BEAM_PHOTONS = 1 << 18
+BEAM_COUNT = 1 << 14
+
+
+def _beam_child(tech):
+    """In-subprocess single beam/plane technique run (prints one JSON
+    line the parent parses)."""
+    base_kw = dict(
+        max_depth=12, null_bounces=6, max_cam_depth=6,
+        surface_photons=BEAM_PHOTONS, volume_photons=BEAM_PHOTONS,
+        grid_hash_size=1 << 20, volume_samples=2,
+        initial_scale_volume=0.8,
+        grid_max_photons_per_cell=32, gather_q_tile=2048,
+        vol_segments_per_pixel=2,
+        grid_dims=(64, 64, 64), gather_window=2048,
+        window_q_tile=256, cull_k=32, gather_budget=96,
+        grid_surface_rows=1 << 20, grid_volume_rows=1 << 20,
+        beam_seg_tile=8192, beams=BEAM_COUNT)
+    scene = box_medium(width=BEAM_FILM, height=BEAM_FILM)
+    cfg = GradientConfig(use_manifold=False, **base_kw)
+    r_b = sppm.base_volume_radius(scene, cfg)
+    out = run_config(scene, cfg, tech, BEAM_PHOTONS, r_b, 2)
+    out["film"] = BEAM_FILM
+    print("CHILD_RESULT " + json.dumps(out), flush=True)
+
+
+def _try_subprocess(tech, configs, timeout_s=1800):
+    """Crash-isolated technique run: one child process per config."""
+    import subprocess
+    import sys
+    env = dict(os.environ, GVPM_BENCH_CHILD=tech)
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=timeout_s)
+        for line in reversed(r.stdout.splitlines()):
+            if line.startswith("CHILD_RESULT "):
+                configs[tech] = json.loads(line[len("CHILD_RESULT "):])
+                print(f"[bench] {tech}: {configs[tech]}",
+                      file=os.sys.stderr, flush=True)
+                return
+        tail = (r.stderr.strip().splitlines() or ["no output"])[-1]
+        configs[tech] = {"error": tail[:300]}
+    except subprocess.TimeoutExpired:
+        configs[tech] = {"error": f"timeout after {timeout_s}s"}
+    print(f"[bench] {tech} FAILED: {configs[tech]}",
+          file=os.sys.stderr, flush=True)
+
+
 def main():
+    child = os.environ.get("GVPM_BENCH_CHILD")
+    if child:
+        _beam_child(child)
+        return
     on_tpu = jax.default_backend() not in ("cpu",)
     if on_tpu:
         # 256k light PATHS x maxDepth 12 stores ~1M+ photons per map —
@@ -294,45 +348,51 @@ def main():
     scene = box_medium(width=side, height=side)
 
     configs = {}
-    # --- headline: VPM distance, windowed driver, no ME ---
+    only = os.environ.get("GVPM_BENCH_ONLY", "")
+    phases = {}
     cfg = GradientConfig(use_manifold=False, **base_kw)
     r_vol = sppm.base_volume_radius(scene, cfg)
-    _try("distance", run_config, configs, scene, cfg, "distance",
-         n_photons, r_vol, passes)
-
-    phases = _try("phases", phase_breakdown, {}, scene, cfg, n_photons,
-                  r_vol) or {}
+    if only != "beams":
+        # --- headline: VPM distance ---
+        _try("distance", run_config, configs, scene, cfg, "distance",
+             n_photons, r_vol, passes)
+        phases = _try("phases", phase_breakdown, {}, scene, cfg,
+                      n_photons, r_vol) or {}
 
     # --- technique matrix (generatorGVPM.py:74-84) ---
     # GVPM_BENCH_ONLY=distance skips the secondary configs (each is a
     # separate multi-minute compile; the persistent cache makes repeat
     # full runs cheap)
-    if os.environ.get("GVPM_BENCH_ONLY") != "distance":
-        cfg_me = GradientConfig(use_manifold=True, **base_kw)
-        _try("distance_me", run_config, configs, scene, cfg_me,
-             "distance", n_photons, r_vol, max(1, passes - 1))
+    if only != "distance":
+        if only != "beams":
+            cfg_me = GradientConfig(use_manifold=True, **base_kw)
+            _try("distance_me", run_config, configs, scene, cfg_me,
+                 "distance", n_photons, r_vol, max(1, passes - 1))
         # Beam/plane techniques: FULL per-pixel workload (2 medium
         # segments/pixel, 2 chord samples — no halving, VERDICT r4
         # next #1) at paper photon/beam counts (2^18 paths, 16k beams
         # ~ generatorGVPM.py's 2e4), dispatched per segment chunk from
-        # the host (gvpm.render_pass_hosted — the r5 fix for the r4
-        # single-dispatch worker faults). Film is 128^2: the pair sweep
-        # is O(segments x beams), so visits/s — the recorded rate — is
-        # film-size invariant, while a 512^2 sweep would take ~20 min
-        # per pass with the current dense enumeration (the sub-beam
-        # spatial cull is the open lever, see docs/PERF.md). The film
-        # size is recorded per config below.
-        side_b = 128 if on_tpu else side
-        scene_b = box_medium(width=side_b, height=side_b)
-        kw_b = dict(base_kw, beams=beams)
-        cfg_b = GradientConfig(use_manifold=False, **kw_b)
-        r_b = sppm.base_volume_radius(scene_b, cfg_b)
-        for tech in ("plane0d", "beam1d", "beam3d"):
-            _try(tech, run_config, configs, scene_b, cfg_b, tech,
-                 n_photons, r_b, max(1, passes - 1))
-            if isinstance(configs.get(tech), dict) \
-                    and "error" not in configs[tech]:
-                configs[tech]["film"] = side_b
+        # the host (gvpm.render_pass_hosted). Film is 128^2: the pair
+        # sweep is O(segments x beams), so visits/s — the recorded rate
+        # — is film-size invariant, while a 512^2 sweep would take
+        # ~20 min per pass with the current dense enumeration (the
+        # sub-beam spatial cull is the open lever, see docs/PERF.md).
+        # Each technique runs in its OWN SUBPROCESS on TPU: a worker
+        # fault (the still-open plane0d crash class, docs/PERF.md r5
+        # notes) poisons every later jax call in its process, so r4's
+        # in-process isolation lost beam1d/beam3d to plane0d's crash.
+        if on_tpu:
+            for tech in ("beam1d", "beam3d", "plane0d"):
+                _try_subprocess(tech, configs)
+        else:
+            side_b = side
+            scene_b = box_medium(width=side_b, height=side_b)
+            kw_b = dict(base_kw, beams=beams)
+            cfg_b = GradientConfig(use_manifold=False, **kw_b)
+            r_b = sppm.base_volume_radius(scene_b, cfg_b)
+            for tech in ("plane0d", "beam1d", "beam3d"):
+                _try(tech, run_config, configs, scene_b, cfg_b, tech,
+                     n_photons, r_b, max(1, passes - 1))
 
     # --- equal-time relMSE track (the reference's protocol) ---
     relmse_box = {}

@@ -77,18 +77,55 @@ def main():
         bl = jnp.zeros_like(bl)
     if "rb05" in synth_groups:
         r_b = jnp.float32(0.05)
+    if "scbpix" in synth_groups:
+        for s in scb:
+            s["pixel"] = cb.get("pixel",
+                                jnp.arange(s["o"].shape[0],
+                                           dtype=jnp.int32))
     if synth_groups:
         print(f"[replay] synthesized groups: {synth_groups}", flush=True)
     cfg = GradientConfig(use_manifold=False, beam_tile=256,
                          volume_samples=2)
     scene = box_medium(width=16, height=16)
     key = jax.random.PRNGKey(3)
+    if "devify" in synth_groups:
+        # re-materialize every operand as the OUTPUT of a device
+        # computation (layout experiment)
+        devify = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda a: a + 0 if a.dtype != jnp.bool_ else a & a, t))
+        cb, scb, lb, bl = devify((cb, scb, lb, bl))
+        print("[replay] operands devified", flush=True)
+    if os.environ.get("GVPM_MANIFEST"):
+        manifest(cb, scb, lb, bl, r_b, key)
     t0 = time.perf_counter()
     out = gvpm._beam_chunk(scene, cfg, volume, 1 << 18, lb, cb, scb, bl,
                            r_b, key, None)
     v = int(out[3])
     print(f"REPLAY OK {volume} {time.perf_counter()-t0:.1f}s visits={v}",
           flush=True)
+
+
+def manifest(cb, scb, lb, bl, r_b, key):
+    import numpy as onp
+    rows = []
+    def add(prefix, d):
+        for k in sorted(d):
+            a = onp.asarray(d[k])
+            rows.append(f"{prefix}{k}: {a.dtype} {a.shape} "
+                        f"[{onp.nanmin(a) if a.size else 0:.4g}, "
+                        f"{onp.nanmax(a) if a.size else 0:.4g}]")
+    add("cb_", cb)
+    for i, s in enumerate(scb):
+        add(f"scb{i}_", s)
+    add("lb_", lb)
+    a = onp.asarray(bl)
+    rows.append(f"bl: {a.dtype} {a.shape} [{a.min()}, {a.max()}]")
+    a = onp.asarray(r_b)
+    rows.append(f"r_b: {a.dtype} {a.shape} {float(a):.6g}")
+    a = onp.asarray(key)
+    rows.append(f"key: {a.dtype} {a.shape}")
+    for r in rows:
+        print("MANIFEST", r, flush=True)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,9 @@ def one(volume, m, lbeams, tile):
           if volume == "plane0d" else beams)
     r_b = jnp.float32(0.05)
 
+    if os.environ.get("GVPM_MANIFEST"):
+        from repro_chunk_replay import manifest
+        manifest(cb, scb, lb, bl, r_b, ks[9])
     t0 = time.perf_counter()
     out = gvpm._beam_chunk(scene, cfg, volume, 1 << 18, lb, cb, scb, bl,
                            r_b, ks[9], None)
