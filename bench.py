@@ -330,8 +330,10 @@ def main():
             grid_dims=(64, 64, 64), gather_window=2048,
             window_q_tile=256, cull_k=32, gather_budget=96,
             grid_surface_rows=1 << 20, grid_volume_rows=1 << 20,
-            # beam pair planes: [seg_tile, beam_tile] temps; 32768 blew
-            # past HBM with 2 chord samples in flight (worker crash)
+            # r5 headline: the fused Pallas window-sweep kernel
+            # (ops/pallas_gather.py) — no random fetches, no candidate
+            # subsampling; Qt/W from the on-chip r5 sweep
+            gather_driver="pallas", pallas_q_tile=96, pallas_window=384,
             beam_seg_tile=8192)
         beams = 1 << 14
     else:
@@ -422,7 +424,7 @@ def main():
         "relmse": relmse_res,
         "config": {"film": side, "photons": n_photons,
                    "max_depth": cfgd.max_depth, "volume": "distance",
-                   "driver": "window",
+                   "driver": cfgd.gather_driver,
                    "backend": jax.default_backend()},
     }))
 

@@ -93,10 +93,14 @@ class PhotonConfig(PathConfig):
     gather_window: int = 768          # rows streamed per tile run
     window_q_tile: int = 128          # queries per window tile (smaller
                                       # tiles -> tighter windows)
-    pallas_q_tile: int = 128          # queries per fused-kernel tile
+    pallas_q_tile: int = 96           # queries per fused-kernel tile
                                       # (driver="pallas"; [Qt, W] pair
-                                      # planes live in VMEM)
-    pallas_window: int = 256          # rows per fused-kernel window DMA
+                                      # planes live in VMEM — [128,256]
+                                      # blew the 512^2 VMEM budget)
+    pallas_window: int = 384          # rows per fused-kernel window DMA
+                                      # (on-chip sweep r5: 96/384 beat
+                                      # 64/256 and 64/512 on visits/s
+                                      # with dropped/visits 1.65)
     beam_dispatch: str = "host"       # "host": beam/plane gathers run
                                       # one bounded device dispatch per
                                       # segment chunk (r5 fix for the

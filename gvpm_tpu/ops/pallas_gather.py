@@ -148,9 +148,11 @@ def plan_windows(grid: CellGrid, x, q_valid, q_tile, window):
                            r0t, P), axis=1)                 # [T, R]
     lo = (lo // 128) * 128                                  # aligned DMA
     lo = jnp.clip(lo, 0, max(P - W, 0)).astype(jnp.int32)
+    # FLAT [n_tiles*R]: a 2D scalar-prefetch operand pads its last dim
+    # to 128 lanes in SMEM (2 MB at 4096 tiles — over the 1 MB budget)
     return dict(order=order, qi=qi, vq=vq.reshape(n_tiles, q_tile),
                 r0=r0t.astype(jnp.int32), r1=r1t.astype(jnp.int32),
-                lo=lo, n_tiles=n_tiles, Q=Q, W=W)
+                lo=lo.reshape(-1), n_tiles=n_tiles, Q=Q, W=W)
 
 
 def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
@@ -167,7 +169,7 @@ def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
     def dma(slot, r):
         # plan_windows 128-aligns window starts; multiple_of carries
         # the proof to Mosaic's memref slicer
-        lo_a = pl.multiple_of(lo_ref[ti, r], 128)
+        lo_a = pl.multiple_of(lo_ref[ti * N_RUNS + r], 128)
         return pltpu.make_async_copy(
             tbl_ref.at[:, pl.ds(lo_a, W)],
             win.at[slot], sem.at[slot])
@@ -175,7 +177,7 @@ def _kernel(lo_ref, rr_ref, vq_ref, q_ref, par_ref, tbl_ref, out_ref,
     if not interpret:
         dma(0, 0).start()
     for r in range(N_RUNS):
-        lo = lo_ref[ti, r]
+        lo = lo_ref[ti * N_RUNS + r]
         if interpret:
             rows = tbl_ref[:, pl.ds(lo, W)]
         else:
