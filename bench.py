@@ -8,10 +8,11 @@ Headline workload (BASELINE.md / generatorGVPM.py paper config shape):
 512x512 film, 256k light paths/pass (~1M+ stored photons), maxDepth 12,
 VPM distance estimator, full gradient pass (base + 4 shifted camera
 paths, surface + volume gathers with diffuse-reconnection shifts and
-pairwise MIS, gradient assembly), windowed cell-major gather driver
-(ops/cellgrid.py). Secondary configs cover the paper's technique matrix
-(generatorGVPM.py:74-84): distance+ME (manifold shift on), beam 3D
-(BASELINE's north-star estimator) and plane 0D.
+pairwise MIS, gradient assembly), fused Pallas window-sweep driver
+(ops/pallas_gather.py). Secondary configs cover the paper's technique
+matrix (generatorGVPM.py:74-84): distance+ME (manifold shift on),
+beam 1D/3D (BASELINE's north-star estimator) and plane 0D in
+crash-isolated subprocesses, plus an equal-time relMSE track.
 
 The metric counts photons/beams that actually pass the kernel test
 inside the gathers (render_pass returns the counter) — NOT candidate
@@ -263,46 +264,70 @@ BEAM_COUNT = 1 << 14
 
 def _beam_child(tech):
     """In-subprocess single beam/plane technique run (prints one JSON
-    line the parent parses)."""
+    line the parent parses). GVPM_BENCH_CHILD_REDUCED=1 drops to a
+    config measured to survive the open backend fault (64^2, 2^17
+    paths, 4k beams, 1 seg/pixel, 1 chord sample — docs/PERF.md r5)."""
+    reduced = os.environ.get("GVPM_BENCH_CHILD_REDUCED") == "1"
+    film = 64 if reduced else BEAM_FILM
+    photons = (1 << 17) if reduced else BEAM_PHOTONS
+    beams_n = (1 << 12) if reduced else BEAM_COUNT
     base_kw = dict(
         max_depth=12, null_bounces=6, max_cam_depth=6,
-        surface_photons=BEAM_PHOTONS, volume_photons=BEAM_PHOTONS,
-        grid_hash_size=1 << 20, volume_samples=2,
+        surface_photons=photons, volume_photons=photons,
+        grid_hash_size=1 << 20,
+        volume_samples=1 if reduced else 2,
         initial_scale_volume=0.8,
         grid_max_photons_per_cell=32, gather_q_tile=2048,
-        vol_segments_per_pixel=2,
+        vol_segments_per_pixel=1 if reduced else 2,
         grid_dims=(64, 64, 64), gather_window=2048,
         window_q_tile=256, cull_k=32, gather_budget=96,
         grid_surface_rows=1 << 20, grid_volume_rows=1 << 20,
-        beam_seg_tile=8192, beams=BEAM_COUNT)
-    scene = box_medium(width=BEAM_FILM, height=BEAM_FILM)
+        beam_seg_tile=8192, beams=beams_n)
+    scene = box_medium(width=film, height=film)
     cfg = GradientConfig(use_manifold=False, **base_kw)
     r_b = sppm.base_volume_radius(scene, cfg)
-    out = run_config(scene, cfg, tech, BEAM_PHOTONS, r_b, 2)
-    out["film"] = BEAM_FILM
+    out = run_config(scene, cfg, tech, photons, r_b, 2)
+    out["film"] = film
+    out["photons"] = photons
+    out["beams"] = beams_n
+    if reduced:
+        out["config_note"] = ("reduced config: full per-pixel workload "
+                              "faults the TPU worker (open backend bug, "
+                              "docs/PERF.md r5 isolation notes)")
     print("CHILD_RESULT " + json.dumps(out), flush=True)
 
 
 def _try_subprocess(tech, configs, timeout_s=1800):
-    """Crash-isolated technique run: one child process per config."""
+    """Crash-isolated technique run: one child process per config, with
+    a reduced-config retry so a worker fault still yields a recorded
+    rate instead of r4's bare error strings."""
     import subprocess
     import sys
-    env = dict(os.environ, GVPM_BENCH_CHILD=tech)
-    try:
+
+    def run_child(reduced):
+        env = dict(os.environ, GVPM_BENCH_CHILD=tech)
+        if reduced:
+            env["GVPM_BENCH_CHILD_REDUCED"] = "1"
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True,
                            timeout=timeout_s)
         for line in reversed(r.stdout.splitlines()):
             if line.startswith("CHILD_RESULT "):
-                configs[tech] = json.loads(line[len("CHILD_RESULT "):])
-                print(f"[bench] {tech}: {configs[tech]}",
-                      file=os.sys.stderr, flush=True)
-                return
+                return json.loads(line[len("CHILD_RESULT "):])
         tail = (r.stderr.strip().splitlines() or ["no output"])[-1]
-        configs[tech] = {"error": tail[:300]}
+        return {"error": tail[:300]}
+
+    try:
+        out = run_child(False)
+        if "error" in out:
+            full_err = out["error"]
+            out = run_child(True)
+            out["full_config_error"] = full_err[:200]
+        configs[tech] = out
     except subprocess.TimeoutExpired:
         configs[tech] = {"error": f"timeout after {timeout_s}s"}
-    print(f"[bench] {tech} FAILED: {configs[tech]}",
+    tag = "" if "error" not in configs[tech] else " FAILED"
+    print(f"[bench] {tech}{tag}: {configs[tech]}",
           file=os.sys.stderr, flush=True)
 
 
